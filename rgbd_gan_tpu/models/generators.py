@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .extras import OccupancyNet
 from ..nn.layers import (
     AdaINBlock,
     EqualizedConv2D,
@@ -189,9 +190,11 @@ class StyleGenerator(nn.Module):
             for i in range(len(chans))
         ]
         if self.rgbd:
-            in_feats = self.ch if self.rotate_conv_input else None  # l1 in-dim set lazily
             self.l1 = EqualizedLinear(self.ch, name="l1")
             self.l2 = EqualizedLinear(self.ch, name="l2")
+        if self.use_occupancy_net:
+            # latent is the full 2*ch z (net.py:209)
+            self.occupancy = OccupancyNet(in_ch=self.ch * 2 + 3, hidden_ch=32, name="occupancy")
 
     @property
     def n_blocks(self) -> int:
@@ -276,6 +279,9 @@ class StyleGenerator(nn.Module):
             x = None if i == 0 else jnp.zeros((w.shape[0], 4, 4, block.ch_in), w.dtype)
             h = block(self._conditioned_w(i, w if i < 3 else w2, theta), x=x, add_noise=True)
             self.outs[i](h)
+        if self.use_occupancy_net:
+            zcat = jnp.concatenate([w, w2], axis=1)
+            self.occupancy(zcat, jnp.zeros((w.shape[0], 3, 4), w.dtype))
         return h
 
 
@@ -324,6 +330,11 @@ class StyleGANGenerator(nn.Module):
         w = self.mapping(z1)
         w2 = self.mapping(z2)
         return self.gen.init_all(w, w2, theta)
+
+    def occupancy_logits(self, z: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        """Occupancy field logits for world coords (wired like
+        ``updater.py:367-371``: the raw z latent, not w, feeds the MLP)."""
+        return self.gen.occupancy(z.reshape(z.shape[0], -1), coords)
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +412,11 @@ class DCGANGenerator(nn.Module):
             )
             for i in range(len(chans))
         ]
+        if self.use_occupancy_net:
+            self.occupancy = OccupancyNet(in_ch=self.in_ch + 3, hidden_ch=32, name="occupancy")
+
+    def occupancy_logits(self, z: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        return self.occupancy(z.reshape(z.shape[0], -1), coords)
 
     def _stem(self, z: jnp.ndarray, theta: Optional[jnp.ndarray]) -> jnp.ndarray:
         if self.rgbd:
@@ -468,4 +484,6 @@ class DCGANGenerator(nn.Module):
         for i, block in enumerate(self.blocks):
             h = block(h, add_noise=True)
             self.outs[i](h)
+        if self.use_occupancy_net:
+            self.occupancy(z, jnp.zeros((z.shape[0], 3, 4), z.dtype))
         return h
