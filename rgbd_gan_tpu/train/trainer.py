@@ -1,0 +1,375 @@
+"""Training driver: builds models/optimizers/steps from a yml config and runs.
+
+The TPU twin of ``train_rgbd.py:261-474``. Responsibilities:
+
+- model construction per ``generator_architecture`` (``train_rgbd.py:220-258``)
+- optimizer wiring incl. the stylegan mapping at alpha/100 and the l1/l2
+  per-param override (``train_rgbd.py:314-343``)
+- the iteration loop with the piecewise-linear stage schedule; a new jitted
+  step is compiled whenever the *static* spec changes (stage floor crossing,
+  ``start_rotation``/``start_occlusion_aware`` flips) — a handful of
+  compiles per run
+- extensions: snapshots, preview grids, JSONL+console logging with the
+  reference's report-key schema (``train_rgbd.py:369-403``)
+- resume: explicit iteration or auto-resume scan (``train_rgbd.py:406-459``)
+- distribution: optional 1-D mesh data parallelism (``use_mpi`` yml key maps
+  to "use every visible device")
+- profiling: ``nvprof``/``enable_cuda_profiling`` yml keys map to a 10-step
+  ``jax.profiler`` trace run (SURVEY §5.1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core.stage import decompose_stage, parse_stage_interval, stage_at
+from ..data.dataset import ImageDataset, prepare_dataset
+from ..eval.preview import sample_generate_light
+from ..geometry.prior import CameraParamPrior
+from ..models.discriminator import Discriminator
+from ..models.generators import (
+    DCGANGenerator,
+    StyleGANGenerator,
+    dcgan_make_hidden,
+    stylegan_make_hidden,
+)
+from ..parallel.mesh import DATA_AXIS, is_master, make_mesh, replicate, shard_batch, shard_train_step
+from . import checkpoint as ckpt
+from .optim import make_optimizer, make_stylegan_gen_optimizer
+from .state import TrainState
+from .steps import StepSpec, make_rgb_train_step, make_rgbd_train_step
+
+REPORT_KEYS = [
+    "iteration",
+    "elapsed_time",
+    "stage",
+    "batch_size",
+    "image_size",
+    "gen/loss_adv",
+    "dis/loss_adv",
+    "gen/loss_recon",
+    "dis/loss_gp",
+    "gen/loss_rotate",
+    "gen/loss_occupancy",
+]
+
+
+def setup_generator(config):
+    """Model factory mirroring ``train_rgbd.py:220-246`` (incl. the DCGAN
+    in_ch=config.ch quirk)."""
+    rgbd = not bool(config.rgb)
+    arch = config.generator_architecture
+    initial_depth = config.initial_depth if config.initial_depth is not None else 1.0
+    if arch == "stylegan":
+        gen = StyleGANGenerator(
+            config.ch,
+            enable_blur=bool(config.enable_blur),
+            rgbd=rgbd,
+            rotate_conv_input=bool(config.rotate_conv_input),
+            use_occupancy_net=bool(config.use_occupancy_net_loss),
+            initial_depth=initial_depth,
+        )
+        make_hidden = lambda key, n: stylegan_make_hidden(key, n, config.ch)
+    elif arch == "dcgan":
+        gen = DCGANGenerator(
+            in_ch=config.ch,  # quirk: hidden width stays the default 512
+            enable_blur=bool(config.enable_blur),
+            rgbd=rgbd,
+            use_occupancy_net=bool(config.use_occupancy_net_loss),
+            initial_depth=initial_depth,
+        )
+        make_hidden = lambda key, n: dcgan_make_hidden(key, n, config.ch)
+    elif arch == "deepvoxels":
+        from ..models.deepvoxels import build_deepvoxels_generator
+
+        return build_deepvoxels_generator(config)
+    else:
+        raise ValueError(f"{arch} is not supported")
+    return gen, make_hidden
+
+
+def setup_discriminator(config):
+    if config.bigan:
+        raise NotImplementedError(
+            "bigan is not supported (the reference asserts False on it too, updater.py:330)"
+        )
+    return Discriminator(
+        ch=config.ch,
+        enable_blur=bool(config.enable_blur),
+        sn=bool(config.sn),
+        res=bool(config.res_dis),
+    )
+
+
+class Trainer:
+    """Owns state + compiled-step cache and runs the iteration loop."""
+
+    def __init__(self, config: Config, dataset: Optional[np.ndarray] = None, seed: int = 0):
+        if config.optical_flow:
+            raise NotImplementedError("optical flow loss is not supported (updater.py:374)")
+        self.config = config
+        self.seed = seed
+        self.use_mesh = bool(config.use_mpi) and jax.device_count() > 1
+        self.mesh = make_mesh() if self.use_mesh else None
+        self.fleet_size = jax.device_count() if self.use_mesh else 1
+
+        self.arch = config.generator_architecture
+        self.rgb = bool(config.rgb)
+        self.gen, self.make_hidden = setup_generator(config)
+        self.dis = setup_discriminator(config)
+
+        self.stage_interval = parse_stage_interval(config.stage_interval)
+        if self.fleet_size > 1:
+            # schedule compression under data parallelism (train_rgbd.py:133-135)
+            self.stage_interval = [s // self.fleet_size for s in self.stage_interval]
+        self.max_stage = config.max_stage
+
+        self.prior = CameraParamPrior(config)
+        self.batch_size = config.batchsize
+        self.local_batch = self.batch_size  # per-device batch under DP
+        if self.use_mesh:
+            assert self.batch_size % self.fleet_size == 0
+            self.local_batch = self.batch_size // self.fleet_size
+
+        # optimizers: one per clipping domain (train_rgbd.py:314-343)
+        a_g, a_d = config.adam_alpha_g, config.adam_alpha_d
+        b1, b2 = config.adam_beta1, config.adam_beta2
+        if self.arch == "stylegan":
+            self.opt_map = make_optimizer(a_g / 100, b1, b2)
+            self.opt_gen = make_stylegan_gen_optimizer(a_g, b1, b2, rgbd=not self.rgb)
+        else:
+            self.opt_map = None
+            self.opt_gen = make_optimizer(a_g, b1, b2)
+        self.opt_dis = make_optimizer(a_d, b1, b2)
+
+        self.state = self._init_state()
+        self.rng_key = jax.random.PRNGKey(seed)
+
+        if dataset is None:
+            dataset = prepare_dataset(config)
+        shard_index = jax.process_index() if self.use_mesh else 0
+        num_shards = jax.process_count() if self.use_mesh else 1
+        self.iterator = ImageDataset(
+            dataset, self.batch_size // max(num_shards, 1), seed=seed,
+            shard_index=shard_index, num_shards=max(num_shards, 1),
+        )
+
+        self._step_cache: Dict[StepSpec, Callable] = {}
+        self._extensions = []
+        self.metrics_log: list = []
+        self.out = config.out or "out"
+
+    # ------------------------------------------------------------------
+
+    def _init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        kz, kg, kd = jax.random.split(key, 3)
+        z = self.make_hidden(kz, self.local_batch)
+        theta9 = None if self.rgb else jnp.zeros((self.local_batch, 9))
+        gen_vars = self.gen.init(kg, z, theta9, method=self.gen.init_all)
+        dis_vars = self.dis.init(kd, jnp.ones((2, 4, 4, 3)), method=self.dis.init_all)
+        params_gen = gen_vars["params"]
+        params_dis = dis_vars["params"]
+        sn_state = dis_vars.get("sn")
+
+        if self.arch == "stylegan":
+            opt_map_state = self.opt_map.init(params_gen["mapping"])
+            opt_gen_state = self.opt_gen.init(params_gen["gen"])
+        else:
+            opt_map_state = None
+            opt_gen_state = self.opt_gen.init(params_gen)
+        opt_dis_state = self.opt_dis.init(params_dis)
+
+        keep_ema = bool(self.config.keep_smoothed_gen) and is_master()
+        ema = jax.tree_util.tree_map(lambda x: x, params_gen) if keep_ema else None
+        return TrainState(
+            params_gen=params_gen,
+            params_dis=params_dis,
+            opt_map=opt_map_state,
+            opt_gen=opt_gen_state,
+            opt_dis=opt_dis_state,
+            ema_gen=ema,
+            sn_state=sn_state,
+            iteration=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _spec_for(self, iteration: int, stage_floor: int) -> StepSpec:
+        c = self.config
+        use_rotate = (not self.rgb) and iteration > (c.start_rotation or 0)
+        occl = iteration >= (c.start_occlusion_aware or 0)
+        return StepSpec(
+            architecture=self.arch,
+            stage_floor=stage_floor,
+            batch_size=self.local_batch,
+            use_rotate=use_rotate,
+            occlusion_aware=occl,
+            rotate_feature=bool(c.rotate_feature),
+            use_occupancy=bool(c.use_occupancy_net_loss),
+            sn=bool(c.sn),
+            keep_smoothed_gen=bool(c.keep_smoothed_gen) and is_master(),
+            smoothing=c.smoothing if c.smoothing is not None else 0.999,
+            lambda_gp=c.lambda_gp if c.lambda_gp is not None else 1.0,
+            lambda_depth=c.lambda_depth if c.lambda_depth is not None else 0.0,
+            depth_min=c.depth_min if c.depth_min is not None else 0.6,
+            lambda_geometric=c.lambda_geometric if c.lambda_geometric else 3.0,
+            lambda_rotate=c.lambda_rotate if c.lambda_rotate else 2.0,
+            lambda_occupancy=c.lambda_occupancy if c.lambda_occupancy else 1.0,
+            axis_name=DATA_AXIS if self.use_mesh else None,
+            max_stage=self.max_stage,
+        )
+
+    def _compiled_step(self, spec: StepSpec) -> Callable:
+        if spec in self._step_cache:
+            return self._step_cache[spec]
+        if self.rgb:
+            step = make_rgb_train_step(
+                self.gen, self.dis, self.make_hidden, self.opt_map, self.opt_gen,
+                self.opt_dis, spec,
+            )
+        else:
+            step = make_rgbd_train_step(
+                self.gen, self.dis, self.make_hidden, self.prior, self.opt_map,
+                self.opt_gen, self.opt_dis, spec,
+            )
+        if self.use_mesh:
+            fn = shard_train_step(step, self.mesh)
+        else:
+            fn = jax.jit(step)
+        self._step_cache[spec] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def stage(self, iteration: Optional[int] = None) -> float:
+        it = int(self.state.iteration) if iteration is None else iteration
+        return stage_at(it, self.stage_interval, self.max_stage)
+
+    def gen_apply_eval(self, z, stage_floor, alpha, theta9):
+        return self.gen.apply(
+            {"params": self.state.params_gen}, z, stage_floor, alpha, theta9, train=False
+        )
+
+    def make_hidden_np(self, rng: np.random.RandomState, n: int):
+        """Host-side latent sampler for fixed-seed previews."""
+        c = self.config
+        if self.arch == "stylegan":
+            z = rng.normal(size=(n, c.ch * 2)).astype("float32")
+            return z / np.sqrt((z**2).sum(axis=1, keepdims=True) / c.ch + 1e-8)
+        z = rng.normal(size=(n, c.ch)).astype("float32")
+        return z / np.sqrt((z**2).sum(axis=1, keepdims=True) / c.ch + 1e-8)
+
+    # ------------------------------------------------------------------
+
+    def resume(self) -> bool:
+        """Explicit or auto resume (``train_rgbd.py:406-459``)."""
+        c = self.config
+        names = ckpt.model_names(c)
+        if c.get_model_from_interation:
+            tag = str(c.get_model_from_interation)
+            self.state, self.rng_key = ckpt.load_snapshot(
+                self.out, self.state, self.rng_key, tag, c
+            )
+            return True
+        if c.auto_resume:
+            auto_dir = c.auto_resume_dir if c.auto_resume_dir else self.out
+            tag = ckpt.scan_auto_resume(auto_dir, names)
+            if tag is not None:
+                self.state, self.rng_key = ckpt.load_snapshot(
+                    auto_dir, self.state, self.rng_key, tag, c
+                )
+                return True
+        return False
+
+    def save(self, tag: str) -> None:
+        if is_master():
+            ckpt.save_snapshot(self.out, self.state, self.rng_key, tag, self.config)
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        iterations: Optional[int] = None,
+        log_cb: Optional[Callable[[Dict[str, Any]], None]] = None,
+    ) -> Dict[str, Any]:
+        c = self.config
+        total = iterations if iterations is not None else c.iteration
+        if c.nvprof or c.enable_cuda_profiling:
+            total = 10  # short profiled run (train_rgbd.py:363-364)
+            jax.profiler.start_trace(os.path.join(self.out, "profile"))
+
+        snapshot_interval = c.snapshot_interval or 10000
+        display_interval = c.display_interval or 100
+        preview_interval = c.evaluation_sample_interval or 500
+
+        preview = sample_generate_light(
+            self.gen_apply_eval, self.make_hidden_np, self.out, c
+        )
+
+        start_time = time.time()
+        metrics = {}
+        last_log: Dict[str, Any] = {}
+        state_replicated = False
+        while int(self.state.iteration) < total:
+            it = int(self.state.iteration)
+            st = self.stage(it)
+            floor, alpha = decompose_stage(st, self.max_stage)
+            spec = self._spec_for(it, floor)
+            step = self._compiled_step(spec)
+
+            batch = self.iterator.next()  # (B_local*hosts, S, S, 3) in [-1, 1]
+            x = jnp.asarray(batch)
+            if self.use_mesh:
+                if not state_replicated:
+                    self.state = replicate(self.state, self.mesh)
+                    state_replicated = True
+                x = shard_batch(x, self.mesh)
+
+            self.rng_key, step_key = jax.random.split(self.rng_key)
+            self.state, metrics = step(self.state, x, jnp.float32(alpha), step_key)
+
+            it = int(self.state.iteration)
+            if bool(jax.device_get(metrics["nan"])):
+                raise FloatingPointError(f"NaN loss at iteration {it} (stage {st:.3f})")
+
+            if it % display_interval == 0 or it == total:
+                row = {
+                    "iteration": it,
+                    "elapsed_time": time.time() - start_time,
+                    "batch_size": float(self.batch_size),
+                }
+                for k, v in metrics.items():
+                    if k != "nan":
+                        row[k] = float(jax.device_get(v))
+                self.metrics_log.append(row)
+                last_log = row
+                if log_cb:
+                    log_cb(row)
+                if is_master() and self.out:
+                    os.makedirs(self.out, exist_ok=True)
+                    with open(os.path.join(self.out, "log.jsonl"), "a") as f:
+                        f.write(json.dumps(row) + "\n")
+
+            if is_master() and it % preview_interval == 0:
+                try:
+                    preview(it, self.stage(it))
+                except Exception:
+                    pass  # preview is best-effort (e.g. no PIL)
+
+            if it % snapshot_interval == 0:
+                self.save(str(it))
+
+        if c.nvprof or c.enable_cuda_profiling:
+            jax.profiler.stop_trace()
+        self.save("latest")
+        return last_log

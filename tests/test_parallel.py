@@ -1,0 +1,120 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_gan_tpu.core import Config
+from rgbd_gan_tpu.geometry import CameraParamPrior
+from rgbd_gan_tpu.models import DCGANGenerator, Discriminator, dcgan_make_hidden
+from rgbd_gan_tpu.parallel import DATA_AXIS, make_mesh, shard_train_step
+from rgbd_gan_tpu.parallel.mesh import replicate, shard_batch
+from rgbd_gan_tpu.train import StepSpec, TrainState, make_optimizer, make_rgbd_train_step
+
+CH = 16
+LOCAL_BATCH = 4
+
+
+def _prior():
+    return CameraParamPrior(
+        Config(
+            dict(
+                x_rotate=0.3054, y_rotate=3.1415, z_rotate=0,
+                x_translate=0, y_translate=0, z_translate=0,
+                uniform_distribution=False,
+            )
+        )
+    )
+
+
+def _build(axis_name):
+    gen = DCGANGenerator(in_ch=CH, ch=CH * 2, rgbd=True)
+    dis = Discriminator(ch=CH, res=True)
+    z = dcgan_make_hidden(jax.random.PRNGKey(0), LOCAL_BATCH, CH)
+    params_gen = gen.init(jax.random.PRNGKey(1), z, jnp.zeros((LOCAL_BATCH, 9)),
+                          method=gen.init_all)["params"]
+    params_dis = dis.init(jax.random.PRNGKey(2), jnp.ones((2, 4, 4, 3)),
+                          method=dis.init_all)["params"]
+    opt_gen = make_optimizer(0.001, 0.0, 0.999)
+    opt_dis = make_optimizer(0.003, 0.0, 0.999)
+    spec = StepSpec(
+        architecture="dcgan", stage_floor=6, batch_size=LOCAL_BATCH,
+        use_rotate=True, lambda_geometric=1.0, axis_name=axis_name,
+    )
+    state = TrainState(
+        params_gen=params_gen, params_dis=params_dis, opt_map=None,
+        opt_gen=opt_gen.init(params_gen), opt_dis=opt_dis.init(params_dis),
+        ema_gen=None, sn_state=None, iteration=jnp.int32(0),
+    )
+    step = make_rgbd_train_step(
+        gen, dis, lambda k, n: dcgan_make_hidden(k, n, CH), _prior(),
+        None, opt_gen, opt_dis, spec,
+    )
+    return state, step
+
+
+class TestShardedStep:
+    def test_eight_device_mesh_runs_and_stays_replicated(self):
+        assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+        mesh = make_mesh()
+        state, step = _build(DATA_AXIS)
+        fn = shard_train_step(step, mesh)
+        state = replicate(state, mesh)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (8 * LOCAL_BATCH, 32, 32, 3), minval=-1, maxval=1
+        )
+        x = shard_batch(x, mesh)
+        new_state, metrics = fn(state, x, jnp.float32(0.0), jax.random.PRNGKey(4))
+        assert not bool(metrics["nan"])
+        assert np.isfinite(float(metrics["gen/loss_adv"]))
+        assert int(new_state.iteration) == 1
+        # second step composes
+        new_state, metrics = fn(new_state, x, jnp.float32(0.0), jax.random.PRNGKey(5))
+        assert int(new_state.iteration) == 2
+
+    def test_one_device_mesh_matches_unsharded(self):
+        """shard_map on a 1-device mesh == plain jit with the axis fold applied."""
+        mesh = make_mesh(jax.devices()[:1])
+        state_a, step_axis = _build(DATA_AXIS)
+        state_b, step_plain = _build(None)
+        fn = shard_train_step(step_axis, mesh)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (LOCAL_BATCH, 32, 32, 3), minval=-1, maxval=1
+        )
+        key = jax.random.PRNGKey(4)
+        sa, ma = fn(replicate(state_a, mesh), shard_batch(x, mesh), jnp.float32(0.0), key)
+
+        # replicate the axis-index key fold by hand for the unsharded step
+        folded = jax.random.fold_in(key, 0)
+        sb, mb = jax.jit(step_plain)(state_b, x, jnp.float32(0.0), folded)
+        for k in ["gen/loss_adv", "gen/loss_rotate", "dis/loss_adv", "dis/loss_gp"]:
+            assert float(ma[k]) == pytest.approx(float(mb[k]), rel=1e-5), k
+        la = jax.tree_util.tree_leaves(sa.params_gen)
+        lb = jax.tree_util.tree_leaves(sb.params_gen)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_devices_draw_different_latents(self):
+        """Folded keys must decorrelate per-device pose/latent draws: with 8
+        devices the per-device rotate losses differ, so the pmean'd loss
+        differs from any single-device run."""
+        mesh = make_mesh()
+        state, step = _build(DATA_AXIS)
+        fn = shard_train_step(step, mesh)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (8 * LOCAL_BATCH, 32, 32, 3), minval=-1, maxval=1
+        )
+        _, m8 = fn(replicate(state, mesh), shard_batch(x, mesh), jnp.float32(0.0),
+                   jax.random.PRNGKey(4))
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        state1, step1 = _build(DATA_AXIS)
+        fn1 = shard_train_step(step1, mesh1)
+        _, m1 = fn1(replicate(state1, mesh1), shard_batch(x[:LOCAL_BATCH], mesh1),
+                    jnp.float32(0.0), jax.random.PRNGKey(4))
+        assert float(m8["gen/loss_rotate"]) != pytest.approx(
+            float(m1["gen/loss_rotate"]), rel=1e-6
+        )

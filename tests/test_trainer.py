@@ -1,0 +1,171 @@
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rgbd_gan_tpu.core import Config
+from rgbd_gan_tpu.data.dataset import ImageDataset, synthetic_dataset
+from rgbd_gan_tpu.train.trainer import Trainer
+
+
+def tiny_config(tmp_path, **overrides):
+    cfg = dict(
+        dataset_path=str(tmp_path),
+        image_path="unused/*.png",
+        adam_alpha_g=0.001,
+        adam_alpha_d=0.003,
+        adam_beta1=0.0,
+        adam_beta2=0.999,
+        lambda_gp=1.0,
+        sn=False,
+        smoothing=0.999,
+        keep_smoothed_gen=True,
+        batchsize=4,
+        stage_interval="0,0,0,0,0,0,0,1000",
+        max_stage=7,
+        iteration=3,
+        start_rotation=0,
+        start_occlusion_aware=2,
+        auto_resume=False,
+        ch=16,
+        generator_architecture="dcgan",
+        bigan=False,
+        rotate_conv_input=False,
+        res_dis=True,
+        focal_loss_gamma=1.0,
+        lambda_depth=10,
+        depth_min=0.6,
+        lambda_geometric=1,
+        x_rotate=0.3054,
+        y_rotate=3.1415,
+        z_rotate=0,
+        x_translate=0,
+        y_translate=0,
+        z_translate=0,
+        test_y_rotate=3.1415,
+        use_mpi=False,
+        out=str(tmp_path / "out"),
+        auto_resume_dir="",
+        snapshot_interval=2,
+        evaluation_sample_interval=1000,
+        display_interval=1,
+        get_model_from_interation="",
+        style_mixing_rate=0.0,
+        enable_blur=False,
+    )
+    cfg.update(overrides)
+    return Config(cfg)
+
+
+class TestDataset:
+    def test_cache_shape_and_iteration(self):
+        data = synthetic_dataset(10, 32)
+        it = ImageDataset(data, batch_size=4, seed=0)
+        b = it.next()
+        assert b.shape == (4, 32, 32, 3)
+        assert b.min() >= -1.0 and b.max() <= 1.0
+        # wrap-around across epochs
+        for _ in range(5):
+            it.next()
+        assert it.epoch >= 1
+
+    def test_sharding_disjoint(self):
+        data = synthetic_dataset(10, 8)
+        s0 = ImageDataset(data, 2, shard_index=0, num_shards=2)
+        s1 = ImageDataset(data, 2, shard_index=1, num_shards=2)
+        assert len(s0) + len(s1) == 10
+
+
+class TestTrainerLoop:
+    def test_three_iterations_end_to_end(self, tmp_path):
+        config = tiny_config(tmp_path)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        rows = []
+        last = t.run(log_cb=rows.append)
+        assert int(t.state.iteration) == 3
+        assert len(rows) == 3
+        for row in rows:
+            assert np.isfinite(row["gen/loss_adv"])
+            assert np.isfinite(row["dis/loss_adv"])
+        # occlusion_aware flips at iteration 2 -> a second compile, still fine
+        assert len(t._step_cache) >= 2
+        # log file written
+        log = os.path.join(config.out, "log.jsonl")
+        assert os.path.exists(log)
+        assert len(open(log).read().strip().splitlines()) == 3
+
+    def test_snapshot_artifacts_and_resume(self, tmp_path):
+        config = tiny_config(tmp_path, iteration=2, snapshot_interval=2)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        t.run()
+        out = config.out
+        for name in ["Generator_2.npz", "Discriminator_2.npz", "SmoothedGenerator_2.npz",
+                     "snapshot_iter_2.npz", "Generator_latest.npz"]:
+            assert os.path.exists(os.path.join(out, name)), name
+
+        # auto-resume picks up iteration 2 and continues
+        config2 = tiny_config(tmp_path, iteration=3, snapshot_interval=100, auto_resume=True)
+        t2 = Trainer(config2, dataset=data, seed=1)
+        assert t2.resume()
+        assert int(t2.state.iteration) == 2
+        # resumed params equal saved params
+        a = jax.tree_util.tree_leaves(t.state.params_gen)
+        b = jax.tree_util.tree_leaves(t2.state.params_gen)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+        t2.run()
+        assert int(t2.state.iteration) == 3
+
+    def test_explicit_resume(self, tmp_path):
+        config = tiny_config(tmp_path, iteration=2, snapshot_interval=2)
+        data = synthetic_dataset(8, 32)
+        Trainer(config, dataset=data, seed=0).run()
+        config2 = tiny_config(tmp_path, iteration=3, get_model_from_interation="2")
+        t2 = Trainer(config2, dataset=data, seed=0)
+        assert t2.resume()
+        assert int(t2.state.iteration) == 2
+
+    def test_incomplete_snapshot_ignored(self, tmp_path):
+        config = tiny_config(tmp_path, iteration=2, snapshot_interval=2)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        t.run()
+        # delete one artifact -> auto-resume must skip that iteration
+        os.remove(os.path.join(config.out, "Discriminator_2.npz"))
+        config2 = tiny_config(tmp_path, auto_resume=True)
+        t2 = Trainer(config2, dataset=data, seed=0)
+        assert not t2.resume()
+
+    def test_stylegan_trainer(self, tmp_path):
+        config = tiny_config(
+            tmp_path, generator_architecture="stylegan", iteration=2, keep_smoothed_gen=False
+        )
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        last = t.run()
+        assert np.isfinite(last["gen/loss_adv"])
+        assert int(t.state.iteration) == 2
+
+    def test_bigan_raises(self, tmp_path):
+        config = tiny_config(tmp_path, bigan=True)
+        with pytest.raises(NotImplementedError):
+            Trainer(config, dataset=synthetic_dataset(8, 32))
+
+
+class TestPreview:
+    def test_preview_grid_written(self, tmp_path):
+        pytest.importorskip("PIL")
+        config = tiny_config(tmp_path, iteration=1, evaluation_sample_interval=1)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        t.run()
+        assert os.path.exists(os.path.join(config.out, "preview", "image_latest.png"))
+        from PIL import Image
+
+        img = np.asarray(Image.open(os.path.join(config.out, "preview", "image_latest.png")))
+        # 8x8 grid, RGBD -> 16 rows of 64px (eval-mode min size), 8 cols
+        assert img.shape == (16 * 64, 8 * 64, 3)
