@@ -45,7 +45,7 @@ class ConvBN(nn.Module):
             self.features,
             self.kernel,
             strides=(self.stride, self.stride),
-            padding=[self.padding, self.padding] if isinstance(self.padding, tuple) else self.padding,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             use_bias=False,
             name="conv",
         )(x)
