@@ -58,6 +58,19 @@ def gen_images(gen: Callable, n: int = 50000, batchsize: int = 100) -> np.ndarra
     return np.concatenate(ims, axis=0)[:n]
 
 
+def gen_images_with_condition(gen: Callable, c: int = 0, n: int = 500,
+                              batchsize: int = 100) -> np.ndarray:
+    """Class-conditional sampler twin (``evaluation.py:31-45``); ``gen`` must
+    accept ``(batchsize, y)``."""
+    ims = []
+    for _ in range(0, n, batchsize):
+        y = np.full((batchsize,), c, dtype=np.int32)
+        x = np.asarray(jax.device_get(gen(batchsize, y=y)))
+        x = np.asarray(np.clip(x * 127.5 + 127.5, 0.0, 255.0), dtype=np.uint8)
+        ims.append(x)
+    return np.concatenate(ims, axis=0)[:n]
+
+
 def _make_feature_fn(model: InceptionV3, variables, get_feature: bool):
     @jax.jit
     def fn(x):

@@ -66,18 +66,22 @@ def render_preview_grid(
 
     if config.rgb:
         theta9 = None
+        mats = None
     else:
         theta = np.zeros((rows * cols, 6), dtype="float32")
         theta[:, 1] = np.tile(
             np.linspace(-config.test_y_rotate, config.test_y_rotate, rows), cols
         )
-        theta9 = np.concatenate(
+        theta9 = jnp.asarray(np.concatenate(
             [np.cos(theta[:, :3]), np.sin(theta[:, :3]), theta[:, 3:]], axis=1
-        ).astype("float32")
-        theta9 = jnp.asarray(theta9)
+        ).astype("float32"))
+        mats = jnp.asarray(camera_matrices_np(theta))
 
     floor, alpha = decompose_stage(stage, config.max_stage or 17)
-    x = gen_apply(jnp.asarray(z), floor, jnp.float32(alpha), theta9)
+    try:
+        x = gen_apply(jnp.asarray(z), floor, jnp.float32(alpha), theta9, mats)
+    except TypeError:
+        x = gen_apply(jnp.asarray(z), floor, jnp.float32(alpha), theta9)
     x = np.asarray(x).transpose(0, 3, 1, 2)  # NHWC -> NCHW for the grid writer
     return convert_batch_images(x, rows, cols)
 

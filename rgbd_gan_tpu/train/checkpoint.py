@@ -95,7 +95,13 @@ def save_snapshot(out_dir: str, state, rng_key, tag: str, config) -> None:
     """Write the per-model + trainer artifacts for ``tag`` (an iteration
     number as string, or 'latest')."""
     os.makedirs(out_dir, exist_ok=True)
-    save_tree(os.path.join(out_dir, f"Generator_{tag}.npz"), state.params_gen)
+    gen_tree = state.params_gen
+    if state.gen_state is not None:  # deepvoxels: include BN statistics
+        gen_tree = {"params": state.params_gen, "batch_stats": state.gen_state}
+    save_tree(os.path.join(out_dir, f"Generator_{tag}.npz"), gen_tree)
+    if config.generator_architecture == "deepvoxels":
+        # extra mapping artifact for layout parity (train_rgbd.py:374-377)
+        save_tree(os.path.join(out_dir, f"Map_{tag}.npz"), state.params_gen["mapping"])
     dis_tree = {"params": state.params_dis}
     if state.sn_state is not None:
         dis_tree["sn"] = state.sn_state
@@ -114,7 +120,15 @@ def save_snapshot(out_dir: str, state, rng_key, tag: str, config) -> None:
 
 def load_snapshot(out_dir: str, state, rng_key, tag: str, config):
     """Load artifacts for ``tag`` into (state, rng_key); non-strict."""
-    params_gen = load_tree(os.path.join(out_dir, f"Generator_{tag}.npz"), state.params_gen)
+    gen_template = state.params_gen
+    gen_state = state.gen_state
+    if state.gen_state is not None:
+        gen_template = {"params": state.params_gen, "batch_stats": state.gen_state}
+    gen_tree = load_tree(os.path.join(out_dir, f"Generator_{tag}.npz"), gen_template)
+    if state.gen_state is not None:
+        params_gen, gen_state = gen_tree["params"], gen_tree["batch_stats"]
+    else:
+        params_gen = gen_tree
     dis_template = {"params": state.params_dis}
     if state.sn_state is not None:
         dis_template["sn"] = state.sn_state
@@ -133,6 +147,7 @@ def load_snapshot(out_dir: str, state, rng_key, tag: str, config):
     trainer_tree = load_tree(os.path.join(out_dir, f"snapshot_iter_{tag}.npz"), trainer_template)
     new_state = state.replace(
         params_gen=params_gen,
+        gen_state=gen_state,
         params_dis=dis_tree["params"],
         sn_state=dis_tree.get("sn", state.sn_state),
         ema_gen=ema_gen,

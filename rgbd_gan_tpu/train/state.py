@@ -25,3 +25,4 @@ class TrainState:
     ema_gen: Optional[Any]  # smoothed-generator params (None if disabled)
     sn_state: Optional[Any]  # discriminator 'sn' collection (None unless sn)
     iteration: Any  # int32 scalar
+    gen_state: Optional[Any] = None  # generator 'batch_stats' (deepvoxels only)

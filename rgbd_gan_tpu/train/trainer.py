@@ -146,6 +146,9 @@ class Trainer:
         if self.arch == "stylegan":
             self.opt_map = make_optimizer(a_g / 100, b1, b2)
             self.opt_gen = make_stylegan_gen_optimizer(a_g, b1, b2, rgbd=not self.rgb)
+        elif self.arch == "deepvoxels":
+            self.opt_map = make_optimizer(a_g / 100, b1, b2)
+            self.opt_gen = make_optimizer(a_g, b1, b2)
         else:
             self.opt_map = None
             self.opt_gen = make_optimizer(a_g, b1, b2)
@@ -171,11 +174,19 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _init_state(self) -> TrainState:
+        from ..geometry.camera import camera_matrices
+
         key = jax.random.PRNGKey(self.seed)
         kz, kg, kd = jax.random.split(key, 3)
         z = self.make_hidden(kz, self.local_batch)
         theta9 = None if self.rgb else jnp.zeros((self.local_batch, 9))
-        gen_vars = self.gen.init(kg, z, theta9, method=self.gen.init_all)
+        gen_state = None
+        if self.arch == "deepvoxels":
+            mats = camera_matrices(jnp.zeros((self.local_batch, 6)))
+            gen_vars = self.gen.init(kg, z, mats, z, theta9, method=self.gen.init_all)
+            gen_state = gen_vars.get("batch_stats")
+        else:
+            gen_vars = self.gen.init(kg, z, theta9, method=self.gen.init_all)
         dis_vars = self.dis.init(kd, jnp.ones((2, 4, 4, 3)), method=self.dis.init_all)
         params_gen = gen_vars["params"]
         params_dis = dis_vars["params"]
@@ -184,6 +195,11 @@ class Trainer:
         if self.arch == "stylegan":
             opt_map_state = self.opt_map.init(params_gen["mapping"])
             opt_gen_state = self.opt_gen.init(params_gen["gen"])
+        elif self.arch == "deepvoxels":
+            # mapping has its own alpha/100 optimizer AND is included in the
+            # whole-generator optimizer (train_rgbd.py:335-343 quirk)
+            opt_map_state = self.opt_map.init(params_gen["mapping"])
+            opt_gen_state = self.opt_gen.init(params_gen)
         else:
             opt_map_state = None
             opt_gen_state = self.opt_gen.init(params_gen)
@@ -200,6 +216,7 @@ class Trainer:
             ema_gen=ema,
             sn_state=sn_state,
             iteration=jnp.int32(0),
+            gen_state=gen_state,
         )
 
     # ------------------------------------------------------------------
@@ -208,6 +225,8 @@ class Trainer:
         c = self.config
         use_rotate = (not self.rgb) and iteration > (c.start_rotation or 0)
         occl = iteration >= (c.start_occlusion_aware or 0)
+        if self.arch == "deepvoxels":
+            stage_floor = 8
         return StepSpec(
             architecture=self.arch,
             stage_floor=stage_floor,
@@ -232,7 +251,17 @@ class Trainer:
     def _compiled_step(self, spec: StepSpec) -> Callable:
         if spec in self._step_cache:
             return self._step_cache[spec]
-        if self.rgb:
+        if self.arch == "deepvoxels":
+            from .steps_deepvoxels import make_deepvoxels_train_step
+
+            c = self.config
+            step = make_deepvoxels_train_step(
+                self.gen, self.dis, self.make_hidden, self.prior, self.opt_map,
+                self.opt_gen, self.opt_dis, spec,
+                focal_loss_gamma=c.focal_loss_gamma if c.focal_loss_gamma else 0.0,
+                background_generator=bool(c.background_generator),
+            )
+        elif self.rgb:
             step = make_rgb_train_step(
                 self.gen, self.dis, self.make_hidden, self.opt_map, self.opt_gen,
                 self.opt_dis, spec,
@@ -252,10 +281,25 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def stage(self, iteration: Optional[int] = None) -> float:
+        if self.arch == "deepvoxels":
+            return 8.5  # pinned (updater_deepvoxels.py:105-106)
         it = int(self.state.iteration) if iteration is None else iteration
         return stage_at(it, self.stage_interval, self.max_stage)
 
-    def gen_apply_eval(self, z, stage_floor, alpha, theta9):
+    def gen_apply_eval(self, z, stage_floor, alpha, theta9, mats=None):
+        if self.arch == "deepvoxels":
+            # second style latent: fixed-seed draw tiled like z (train_rgbd.py:70-71)
+            rng = np.random.RandomState(1)
+            cols = 8
+            rows = z.shape[0] // cols
+            z2 = self.make_hidden_np(rng, cols)
+            z2 = np.tile(z2[:, None], (1, rows, 1)).reshape(z.shape[0], -1)
+            variables = {"params": self.state.params_gen}
+            if self.state.gen_state is not None:
+                variables["batch_stats"] = self.state.gen_state
+            return self.gen.apply(
+                variables, z, mats, jnp.asarray(z2), theta9, train=False
+            )
         return self.gen.apply(
             {"params": self.state.params_gen}, z, stage_floor, alpha, theta9, train=False
         )
@@ -266,6 +310,8 @@ class Trainer:
         if self.arch == "stylegan":
             z = rng.normal(size=(n, c.ch * 2)).astype("float32")
             return z / np.sqrt((z**2).sum(axis=1, keepdims=True) / c.ch + 1e-8)
+        if self.arch == "deepvoxels":
+            return rng.normal(size=(n, c.ch)).astype("float32")
         z = rng.normal(size=(n, c.ch)).astype("float32")
         return z / np.sqrt((z**2).sum(axis=1, keepdims=True) / c.ch + 1e-8)
 
