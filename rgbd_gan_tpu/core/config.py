@@ -53,3 +53,44 @@ def load_config(path: str) -> Config:
     """Load a run config yml (same schema as the reference ``configs/*.yml``)."""
     with open(path) as f:
         return Config(yaml.safe_load(f))
+
+
+class StrictConfig(Config):
+    """Variant that raises ``AttributeError`` on missing keys — the twin of
+    the second loader in the reference (``source/yaml_utils.py:14-28``)."""
+
+    def __getattr__(self, key: str) -> Any:
+        config = self.__dict__.get("config")
+        if config is not None and key in config:
+            return config[key]
+        raise AttributeError(key)
+
+
+def load_module(fn: str, name: str):
+    """Dynamic module loader (``source/yaml_utils.py:37-41``): import
+    attribute ``name`` from python file ``fn``."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        __import__("os").path.splitext(__import__("os").path.basename(fn))[0], fn
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return getattr(mod, name)
+
+
+def load_model(model_fn: str, model_name: str, args=None):
+    """Config-driven model factory (``source/yaml_utils.py:44-48``)."""
+    model = load_module(model_fn, model_name)
+    return model(**args) if args else model()
+
+
+def load_dataset(config):
+    """Config-driven dataset factory (``source/yaml_utils.py:31-34``)."""
+    dataset = load_module(config.dataset["dataset_fn"], config.dataset["dataset_name"])
+    return dataset(**config.dataset["args"])
+
+
+def load_updater_class(config):
+    """Config-driven updater lookup (``source/yaml_utils.py:54-55``)."""
+    return load_module(config.updater["fn"], config.updater["name"])

@@ -25,6 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bring-up: call once per process before touching devices.
+
+    The TPU twin of the reference's MPI communicator creation
+    (``train_rgbd.py:103-119``). No-ops on a single host or when already
+    initialised; coordinator discovery uses the standard TPU environment.
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / no coordinator configured
+
+
 def make_mesh(devices=None) -> Mesh:
     """1-D data-parallel mesh over all (or given) devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
