@@ -113,17 +113,22 @@ def inv_warp(
 
 
 def bilinear_sample(
-    img: jnp.ndarray, zp: jnp.ndarray, exact: bool = True
+    img: jnp.ndarray, zp: jnp.ndarray, exact: bool = True, use_pallas: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Perspective-divide + masked bilinear gather (``loss_functions.py:185-228``).
 
     :param img: (B, H, W, C) NHWC image (RGBD or feature+depth)
     :param zp: (B, HW, 3) projected homogeneous coords ``depth * (x, y, 1)``
+    :param use_pallas: route the gather through the fused Pallas TPU kernel
+        (:mod:`..ops.bilinear_pallas`, MXU one-hot contraction) instead of
+        the XLA gather; numerically identical
     :returns: ``warped`` (B*HW, C) sampled values (zero where out of bounds)
               and ``mask`` (B*HW,) float32 in-bounds indicator (stop-grad).
     """
     b, hw, _ = zp.shape
     _, h, w, c = img.shape
+    if use_pallas:
+        return _bilinear_sample_pallas(img, zp, exact)
     zp = zp.reshape(-1, 3)
 
     zc = jnp.clip(zp[:, 2], CLIP_Z_MIN, CLIP_Z_MAX)
@@ -181,6 +186,29 @@ def bilinear_sample(
     return warped, mask
 
 
+def _bilinear_sample_pallas(img, zp, exact):
+    """Pallas-kernel route: same math/masks as the jnp path above."""
+    from ..ops.bilinear_pallas import bilinear_gather_pallas
+
+    b, hw, _ = zp.shape
+    _, h, w, c = img.shape
+    zc = jnp.clip(zp[..., 2], CLIP_Z_MIN, CLIP_Z_MAX)
+    u_rows = zp[..., 1] / zc  # post-swap: u indexes rows
+    v_cols = zp[..., 0] / zc
+    z_s = jax.lax.stop_gradient(zp[..., 2])
+    zmask = (z_s > CLIP_Z_MIN).astype(img.dtype)
+
+    warped = bilinear_gather_pallas(img, u_rows, v_cols, exact)  # (B, HW, C)
+    warped = warped * zmask[..., None]
+
+    u_s = jax.lax.stop_gradient(u_rows)
+    v_s = jax.lax.stop_gradient(v_cols)
+    mask = (
+        (u_s >= 0) & (u_s < h - 1) & (v_s >= 0) & (v_s < w - 1) & (z_s > CLIP_Z_MIN)
+    ).astype(img.dtype)
+    return warped.reshape(b * hw, c), mask.reshape(b * hw)
+
+
 def rotate_consistency_loss(
     img: jnp.ndarray,
     mat: jnp.ndarray,
@@ -194,6 +222,7 @@ def rotate_consistency_loss(
     min_depth: Optional[float] = None,
     base_k: Optional[jnp.ndarray] = None,
     exact_bilinear: bool = True,
+    use_pallas: bool = False,
     return_debug: bool = False,
 ):
     """3D-consistency loss between two renders of the same latent.
@@ -220,8 +249,12 @@ def rotate_consistency_loss(
     new_zp = warp(k, inv_k, r, t, z, p)  # (B, HW, 3)
     new_zp_rot = inv_warp(k, inv_k, inv_r, t, z_rot, p)
 
-    warped, not_out = bilinear_sample(img_rot, new_zp, exact=exact_bilinear)
-    warped_rot, not_out_rot = bilinear_sample(img, new_zp_rot, exact=exact_bilinear)
+    warped, not_out = bilinear_sample(
+        img_rot, new_zp, exact=exact_bilinear, use_pallas=use_pallas
+    )
+    warped_rot, not_out_rot = bilinear_sample(
+        img, new_zp_rot, exact=exact_bilinear, use_pallas=use_pallas
+    )
     if return_debug:
         return warped, not_out, new_zp, warped_rot, not_out_rot, new_zp_rot
 

@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: fused masked bilinear gather for the 3D-consistency loss.
+
+The hot irregular op of RGBD-GAN is the warped-image read
+``img[b, u_i, v_i, :]`` with bilinear weights (reference
+``common/loss_functions.py:185-228``). XLA lowers ``jnp.take`` to a gather
+whose random HBM access pattern is the bottleneck; on TPU the same
+computation maps onto the MXU as two *separable one-hot contractions*:
+
+    warped[i, c] = sum_h sum_w  Au[i, h] * Av[i, w] * img[h, w, c]
+
+where ``Au`` holds the two u-corner weights as a sparse row (built on the
+VPU with ``broadcasted_iota`` compares) and likewise ``Av``. A tile of
+points then costs two dense matmuls — exactly what the systolic array wants
+— instead of 4 scattered gathers.
+
+The custom VJP reuses the same structure: ``d img = Au^T @ (Av .* g)`` and
+``d u / d v`` swap a weight matrix for its derivative one-hot. The occlusion
+/ out-of-bounds masks are folded into the weights (stop-gradient), matching
+the reference's gradient flow exactly.
+
+The public entry :func:`bilinear_gather_pallas` is shape/semantics
+compatible with the jnp path in :mod:`..geometry.warp` (``exact=True``
+quirk included) and is validated against it in the test suite (interpret
+mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_IMPORTED = True
+except Exception:  # pragma: no cover
+    _PALLAS_IMPORTED = False
+
+
+def pallas_available() -> bool:
+    return _PALLAS_IMPORTED and jax.default_backend() in ("tpu", "axon")
+
+
+TILE_N = 512  # points per grid step; (TILE_N, H) one-hots stay well inside VMEM
+
+
+def _corner_data(u, v, h, w, exact: bool):
+    """Shared index/weight/mask math (mirrors geometry.warp.bilinear_sample)."""
+    u_s = jax.lax.stop_gradient(u)
+    v_s = jax.lax.stop_gradient(v)
+    u0 = u_s.astype(jnp.int32)
+    v0 = v_s.astype(jnp.int32)
+    mask = (
+        (u_s >= 0) & (u_s < h - 1) & (v_s >= 0) & (v_s < w - 1)
+    )
+    u1 = u0 if exact else u0 + 1
+    return u0, u1, v0, v0 + 1, mask
+
+
+def _onehot_weighted(idx0, idx1, w0, w1, size, dtype):
+    """(N, size) matrix with w0 at idx0 and w1 at idx1 per row (VPU build)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx0.shape[0], size), 1)
+    a = jnp.where(iota == idx0[:, None], w0[:, None], 0.0)
+    return a + jnp.where(iota == idx1[:, None], w1[:, None], 0.0)
+
+
+def _fwd_kernel(u_ref, v_ref, w_ref, img_ref, out_ref, *, h, w, c, exact):
+    u = u_ref[0]
+    v = v_ref[0]
+    u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
+    wmask = w_ref[0] * bounds.astype(u.dtype)  # padding-mask * in-bounds
+    u0f = u0i.astype(u.dtype)
+    # weights use the unoverwritten u0+1 (loss_functions.py:209-212)
+    wu0 = (u0f + 1.0 - u) * wmask
+    wu1 = (u - u0f) * wmask
+    v0f = v0i.astype(v.dtype)
+    wv0 = v0f + 1.0 - v
+    wv1 = v - v0f
+
+    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, u.dtype)  # (N, H)
+    av = _onehot_weighted(v0i, v1i, wv0, wv1, w, v.dtype)  # (N, W)
+
+    img = img_ref[0]  # (H, W*C)
+    t = jnp.dot(au, img, preferred_element_type=jnp.float32)  # (N, W*C)
+    t = t.reshape(au.shape[0], w, c)
+    out = jnp.sum(t * av[:, :, None], axis=1)  # (N, C)
+    out_ref[0] = out
+
+
+def _bwd_kernel(u_ref, v_ref, w_ref, img_ref, g_ref, dimg_ref, du_ref, dv_ref,
+                *, h, w, c, exact):
+    u = u_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]  # (N, C)
+    u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
+    wmask = w_ref[0] * bounds.astype(u.dtype)
+    u0f = u0i.astype(u.dtype)
+    wu0 = (u0f + 1.0 - u) * wmask
+    wu1 = (u - u0f) * wmask
+    v0f = v0i.astype(v.dtype)
+    wv0 = v0f + 1.0 - v
+    wv1 = v - v0f
+
+    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, u.dtype)
+    av = _onehot_weighted(v0i, v1i, wv0, wv1, w, v.dtype)
+    img = img_ref[0]  # (H, W*C)
+    n = au.shape[0]
+
+    # d img: Au^T @ (Av (x) g) accumulated over point tiles
+    avg = (av[:, :, None] * g[:, None, :]).reshape(n, w * c)  # (N, W*C)
+    contrib = jnp.dot(au.T, avg, preferred_element_type=jnp.float32)  # (H, W*C)
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+    dimg_ref[0] += contrib
+
+    # d u: derivative one-hot (-1 at u0, +1 at u1) * mask
+    dau = _onehot_weighted(u0i, u1i, -wmask, wmask, h, u.dtype)
+    t = jnp.dot(dau, img, preferred_element_type=jnp.float32).reshape(n, w, c)
+    du = jnp.sum(jnp.sum(t * av[:, :, None], axis=1) * g, axis=1)
+    du_ref[0] = du
+
+    # d v
+    # dav unmasked: the mask already rides in au (one factor per product)
+    dav = _onehot_weighted(v0i, v1i, -jnp.ones_like(wmask), jnp.ones_like(wmask), w, v.dtype)
+    t2 = jnp.dot(au, img, preferred_element_type=jnp.float32).reshape(n, w, c)
+    dv = jnp.sum(jnp.sum(t2 * dav[:, :, None], axis=1) * g, axis=1)
+    dv_ref[0] = dv
+
+
+def _pad_points(x, tile):
+    n = x.shape[-1]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bilinear_gather_pallas(img, u, v, exact: bool = True, interpret: bool = False):
+    """Masked bilinear gather ``(B, H, W, C), (B, N), (B, N) -> (B, N, C)``.
+
+    ``u`` indexes rows, ``v`` columns (the caller performs the reference's
+    u/v swap and perspective divide). Out-of-bounds points contribute zero
+    and receive zero gradient; gradients flow through the interpolation
+    weights (u, v) and the gathered values (img), like the jnp path.
+    """
+    out, _ = _fwd_impl(img, u, v, exact, interpret)
+    return out
+
+
+def _fwd_impl(img, u, v, exact, interpret):
+    b, h, w, c = img.shape
+    u_p, n = _pad_points(u, TILE_N)
+    v_p, _ = _pad_points(v, TILE_N)
+    mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
+    n_pad = u_p.shape[1]
+    img_r = img.reshape(b, h, w * c)
+
+    grid = (b, n_pad // TILE_N)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, h=h, w=w, c=c, exact=exact),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), img.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(u_p, v_p, mask, img_r)
+    return out[:, :n], (img, u, v)
+
+
+def _vjp_fwd(img, u, v, exact, interpret):
+    return _fwd_impl(img, u, v, exact, interpret)
+
+
+def _vjp_bwd(exact, interpret, residuals, g):
+    img, u, v = residuals
+    b, h, w, c = img.shape
+    u_p, n = _pad_points(u, TILE_N)
+    v_p, _ = _pad_points(v, TILE_N)
+    mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
+    n_pad = u_p.shape[1]
+    g_p = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+    img_r = img.reshape(b, h, w * c)
+
+    grid = (b, n_pad // TILE_N)
+    dimg, du, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, w=w, c=c, exact=exact),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w * c), img.dtype),
+            jax.ShapeDtypeStruct((b, n_pad), u.dtype),
+            jax.ShapeDtypeStruct((b, n_pad), v.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+        ),
+        interpret=interpret,
+    )(u_p, v_p, mask, img_r, g_p)
+    return dimg.reshape(b, h, w, c), du[:, :n], dv[:, :n]
+
+
+bilinear_gather_pallas.defvjp(_vjp_fwd, _vjp_bwd)

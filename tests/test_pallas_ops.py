@@ -1,0 +1,92 @@
+"""Pallas fused bilinear gather vs the jnp reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_gan_tpu.geometry.warp import CLIP_Z_MAX, CLIP_Z_MIN, bilinear_sample
+from rgbd_gan_tpu.ops.bilinear_pallas import bilinear_gather_pallas
+
+B, H, W, C = 2, 16, 16, 4
+
+
+def _setup(seed=0, spread=1.4):
+    rng = np.random.RandomState(seed)
+    img = jnp.asarray(rng.rand(B, H, W, C).astype("f"))
+    # points both inside and outside the image
+    u = jnp.asarray((rng.rand(B, H * W) * spread - 0.2).astype("f") * (H - 1))
+    v = jnp.asarray((rng.rand(B, H * W) * spread - 0.2).astype("f") * (W - 1))
+    return img, u, v
+
+
+def _jnp_reference(img, u, v, exact=True):
+    """Drive geometry.warp.bilinear_sample with zp built so the perspective
+    divide yields exactly (u, v) after the internal swap."""
+    z = jnp.ones_like(u)
+    # internal: u_row = zp[:,1]/z, v_col = zp[:,0]/z (swap)
+    zp = jnp.stack([v, u, z], axis=-1)  # (B, N, 3)
+    warped, mask = bilinear_sample(img, zp, exact=exact)
+    return warped.reshape(B, -1, C), mask.reshape(B, -1)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+class TestForwardParity:
+    def test_matches_jnp_path(self, exact):
+        img, u, v = _setup()
+        ours = bilinear_gather_pallas(img, u, v, exact, True)  # interpret
+        ref, mask = _jnp_reference(img, u, v, exact)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+    def test_integer_points(self, exact):
+        img, _, _ = _setup()
+        u = jnp.broadcast_to(jnp.arange(H * W, dtype=jnp.float32) % (H - 1), (B, H * W))
+        v = jnp.broadcast_to((jnp.arange(H * W, dtype=jnp.float32) // W) % (W - 1), (B, H * W))
+        ours = bilinear_gather_pallas(img, u, v, exact, True)
+        ref, _ = _jnp_reference(img, u, v, exact)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+class TestGradientParity:
+    def _grads(self, fn, img, u, v):
+        def loss(img, u, v):
+            out = fn(img, u, v)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+        return jax.grad(loss, argnums=(0, 1, 2))(img, u, v)
+
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_grads_match(self, exact):
+        img, u, v = _setup(seed=1)
+        g_ours = self._grads(
+            lambda i, uu, vv: bilinear_gather_pallas(i, uu, vv, exact, True), img, u, v
+        )
+        g_ref = self._grads(
+            lambda i, uu, vv: _jnp_reference(i, uu, vv, exact)[0], img, u, v
+        )
+        for a, b, name in zip(g_ours, g_ref, ["dimg", "du", "dv"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
+            )
+
+    def test_masked_points_zero_grad(self):
+        img, u, v = _setup(seed=2)
+        u = u.at[:, :8].set(-5.0)  # force OOB
+        du = jax.grad(
+            lambda uu: jnp.sum(bilinear_gather_pallas(img, uu, v, True, True))
+        )(u)
+        np.testing.assert_allclose(np.asarray(du[:, :8]), 0.0, atol=1e-7)
+
+
+class TestPadding:
+    def test_non_tile_multiple_points(self):
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(1, 8, 8, 2).astype("f"))
+        n = 37  # not a multiple of TILE_N
+        u = jnp.asarray(rng.rand(1, n).astype("f") * 6)
+        v = jnp.asarray(rng.rand(1, n).astype("f") * 6)
+        out = bilinear_gather_pallas(img, u, v, True, True)
+        assert out.shape == (1, n, 2)
+        z = jnp.ones_like(u)
+        ref, _ = bilinear_sample(img, jnp.stack([v, u, z], axis=-1), exact=True)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-5)
