@@ -2,21 +2,27 @@
 """Benchmark: 128x128 RGBD G+D train step throughput (images/sec/chip).
 
 Runs the full RGBD StyleGAN train step — generator forward (paired cameras),
-3D-consistency loss, G Adam update, EMA-free D phase with R1 gradient
-penalty — at the reference's headline setting (ffhq_stylegan_occlusion.yml:
-ch=256, batch 32, stage 10 = 128x128) on the attached accelerator.
+3D-consistency loss with occlusion masking, G Adam update, D phase with the
+R1 gradient penalty — at the reference's headline setting
+(ffhq_stylegan_occlusion.yml: ch=256, batch 32, stage 10 = 128x128) on the
+attached accelerator, in the framework's bf16 mixed-precision mode (f32
+params/stats/heads; set BENCH_F32=1 for the pure-f32 path).
+
+Timing is conservative: every step is synchronised by fetching a loss scalar
+to the host, so dispatch pipelining cannot overstate throughput.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` is measured against REFERENCE_IMAGES_PER_SEC, a literature-
-calibrated estimate of the Chainer/CuPy reference on a V100 (progressive
-GANs at 128px with an R1 penalty and a double generator forward run ~30-60
-img/s on that stack; no in-repo number exists — BASELINE.md documents the
-absence). The target in BASELINE.json is >=10x this per chip.
+``vs_baseline`` divides by REFERENCE_IMAGES_PER_SEC, a literature-calibrated
+estimate of the Chainer/CuPy reference on a V100 (progressive GANs at 128px
+with an R1 penalty and a doubled generator batch run ~30-60 img/s on that
+stack; the reference repo publishes no numbers — see BASELINE.md). The
+BASELINE.json target is >=10x per chip.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -28,11 +34,11 @@ CH = 256
 BATCH = 32
 STAGE = 10  # 128x128
 FULL_RES = 128
-ITERS = 20
-WARMUP = 3
+ITERS = 30
+WARMUP = 5
 
 
-def build():
+def build(mixed16: bool):
     from rgbd_gan_tpu.core import Config
     from rgbd_gan_tpu.geometry import CameraParamPrior
     from rgbd_gan_tpu.models import Discriminator, StyleGANGenerator, stylegan_make_hidden
@@ -44,8 +50,9 @@ def build():
         make_stylegan_gen_optimizer,
     )
 
-    gen = StyleGANGenerator(CH, rgbd=True)
-    dis = Discriminator(ch=CH, res=True)
+    dtype = jnp.bfloat16 if mixed16 else None
+    gen = StyleGANGenerator(CH, rgbd=True, compute_dtype=dtype)
+    dis = Discriminator(ch=CH, res=True, compute_dtype=dtype)
     z = stylegan_make_hidden(jax.random.PRNGKey(0), BATCH, CH)
     theta9 = jnp.zeros((BATCH, 9))
     params_gen = gen.init(jax.random.PRNGKey(1), z, theta9, method=gen.init_all)["params"]
@@ -95,30 +102,37 @@ def build():
 
 
 def main():
-    state, step = build()
+    mixed16 = os.environ.get("BENCH_F32", "") != "1"
+    state, step = build(mixed16)
     x = jax.random.uniform(
         jax.random.PRNGKey(3), (BATCH, FULL_RES, FULL_RES, 3), minval=-1, maxval=1
     )
     alpha = jnp.float32(0.0)
 
     key = jax.random.PRNGKey(10)
-    for i in range(WARMUP):
+    for _ in range(WARMUP):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
-    jax.block_until_ready(state.params_gen)
+        float(jax.device_get(metrics["gen/loss_adv"]))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
+    for _ in range(ITERS):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
-    jax.block_until_ready(state.params_gen)
+        # host roundtrip each step: conservative, pipelining cannot inflate it
+        loss = float(jax.device_get(metrics["gen/loss_adv"]))
     dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in benchmark"
 
     images_per_sec = BATCH * ITERS / dt
+    mode = "bf16" if mixed16 else "f32"
     print(
         json.dumps(
             {
-                "metric": "128x128 RGBD G+D train images/sec/chip (stylegan ch=256 batch=32)",
+                "metric": (
+                    "128x128 RGBD G+D train images/sec/chip "
+                    f"(stylegan ch=256 batch=32, {mode}, per-step host sync)"
+                ),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),

@@ -101,13 +101,18 @@ def _dis_in_channels(ch: int):
 
 
 class Discriminator(nn.Module):
-    """Progressive PGGAN discriminator (``net.py:429-504``)."""
+    """Progressive PGGAN discriminator (``net.py:429-504``).
+
+    ``compute_dtype=jnp.bfloat16`` casts the input at entry and runs the conv
+    trunk in bf16 (params f32); the scalar logit head and the hidden-feature
+    tap are returned in f32."""
 
     ch: int = 512
     out_dim: int = 1
     enable_blur: bool = False
     sn: bool = False
     res: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.block0 = DiscriminatorBlockBase(self.ch, self.out_dim, sn=self.sn, name="block0")
@@ -135,6 +140,8 @@ class Discriminator(nn.Module):
     ):
         stage = min(int(stage_floor), MAX_STAGE - 1)
         feat = None
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         h = x
         if stage % 2 == 0:
             k = (stage - 2) // 2
@@ -152,8 +159,9 @@ class Discriminator(nn.Module):
                 if i == 3:
                     feat = h
                 h = self._run_block(i, h)
+        h = h.astype(jnp.float32)
         if return_hidden:
-            return h, feat
+            return h, (feat.astype(jnp.float32) if feat is not None else None)
         return h
 
     def init_all(self, x4: jnp.ndarray):

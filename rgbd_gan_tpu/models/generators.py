@@ -159,7 +159,11 @@ def _stylegan_block_channels(ch: int) -> Tuple[Tuple[int, int], ...]:
 
 
 class StyleGenerator(nn.Module):
-    """Progressive StyleGAN synthesis stack (``net.py:164-311``)."""
+    """Progressive StyleGAN synthesis stack (``net.py:164-311``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv stack in bf16 on the MXU
+    (params stay f32; AdaIN/PixelNorm statistics and the toRGBD +
+    inverse-depth head compute in f32)."""
 
     ch: int = 512
     enable_blur: bool = False
@@ -167,6 +171,7 @@ class StyleGenerator(nn.Module):
     rotate_conv_input: bool = False
     use_occupancy_net: bool = False
     initial_depth: float = 1.0
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         chans = _stylegan_block_channels(self.ch)
@@ -236,6 +241,11 @@ class StyleGenerator(nn.Module):
         stage = min(int(stage_floor), MAX_STAGE - 1)
         if self.rgbd and theta is None:
             raise ValueError("theta is required for an RGBD generator")
+        if self.compute_dtype is not None:
+            w = w.astype(self.compute_dtype)
+            w2 = w2.astype(self.compute_dtype)
+            if theta is not None:
+                theta = theta.astype(self.compute_dtype)
 
         feat = None
         h = None
@@ -247,7 +257,7 @@ class StyleGenerator(nn.Module):
                 h = self.blocks[i](self._conditioned_w(i, w, theta), x=h, add_noise=add_noise)
                 if return_feature and i == 3:
                     feat = h
-            h = self.outs[k + 1](h)
+            h = self.outs[k + 1](h.astype(jnp.float32))
         else:
             k = (stage - 1) // 2
             for i in range(0, k + 1):  # 0 .. k
@@ -256,14 +266,18 @@ class StyleGenerator(nn.Module):
                 h = self.blocks[i](self._conditioned_w(i, w, theta), x=h, add_noise=add_noise)
                 if return_feature and i == 3:
                     feat = h
-            h_0 = upscale2x(self.outs[k](h))
+            h_0 = upscale2x(self.outs[k](h.astype(jnp.float32)))
             # NB: the fade-in block gets the *unconditioned* w (net.py:290)
-            h_1 = self.outs[k + 1](self.blocks[k + 1](w, x=h, add_noise=add_noise))
+            h_1 = self.outs[k + 1](
+                self.blocks[k + 1](w, x=h, add_noise=add_noise).astype(jnp.float32)
+            )
             h = (1.0 - alpha) * h_0 + alpha * h_1
 
         if self.rgbd:
             depth = 1.0 / (jax.nn.softplus(h[..., -1:]) + 1e-4)
             h = jnp.concatenate([h[..., :3], depth], axis=-1)
+        if feat is not None:
+            feat = feat.astype(jnp.float32)
 
         if train:
             return (h, feat) if return_feature else h
@@ -294,6 +308,7 @@ class StyleGANGenerator(nn.Module):
     rotate_conv_input: bool = False
     use_occupancy_net: bool = False
     initial_depth: float = 1.0
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.mapping = MappingNetwork(self.ch)
@@ -304,6 +319,7 @@ class StyleGANGenerator(nn.Module):
             rotate_conv_input=self.rotate_conv_input,
             use_occupancy_net=self.use_occupancy_net,
             initial_depth=self.initial_depth,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(
@@ -385,6 +401,7 @@ class DCGANGenerator(nn.Module):
     rgbd: bool = False
     use_occupancy_net: bool = False
     initial_depth: float = 1.0
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.linear = EqualizedLinear(self.ch * 4 * 4, name="linear")
@@ -419,6 +436,10 @@ class DCGANGenerator(nn.Module):
         return self.occupancy(z.reshape(z.shape[0], -1), coords)
 
     def _stem(self, z: jnp.ndarray, theta: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if self.compute_dtype is not None:
+            z = z.astype(self.compute_dtype)
+            if theta is not None:
+                theta = theta.astype(self.compute_dtype)
         if self.rgbd:
             h = jnp.concatenate([z, theta * 10], axis=1)
         else:
@@ -457,15 +478,15 @@ class DCGANGenerator(nn.Module):
                 h = self.blocks[i](h, add_noise=add_noise)
                 if return_feature and i == 2:
                     feat = h
-            h = self.outs[k](h)
+            h = self.outs[k](h.astype(jnp.float32))
         else:
             k = (stage - 1) // 2
             for i in range(0, k):  # 0 .. k-1
                 h = self.blocks[i](h, add_noise=add_noise)
                 if return_feature and i == 2:
                     feat = h
-            h_0 = upscale2x(self.outs[k - 1](h))
-            h_1 = self.outs[k](self.blocks[k](h, add_noise=add_noise))
+            h_0 = upscale2x(self.outs[k - 1](h.astype(jnp.float32)))
+            h_1 = self.outs[k](self.blocks[k](h, add_noise=add_noise).astype(jnp.float32))
             h = (1.0 - alpha) * h_0 + alpha * h_1
 
         if self.rgbd:

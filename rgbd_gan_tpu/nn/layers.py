@@ -44,15 +44,20 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
 def pixel_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """``feature_vector_normalization``: x / sqrt(mean(x^2, channels) + eps).
 
-    Channel axis is last (NHWC / NC). Reference ``pggan.py:7-10``.
+    Channel axis is last (NHWC / NC). Reference ``pggan.py:7-10``. The
+    statistics are computed in f32 (stable under bf16 mixed precision).
     """
-    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    xf = x.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return out.astype(x.dtype)
 
 
 def l2_normalize_channels(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Chainer ``F.normalize`` semantics: x / (||x||_2 + eps) over channels."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / (norm + eps)
+    """Chainer ``F.normalize`` semantics: x / (||x||_2 + eps) over channels.
+    Statistics in f32 for bf16 stability."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    return (xf / (norm + eps)).astype(x.dtype)
 
 
 def adain(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -66,11 +71,13 @@ def adain(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e
     :param scale, bias: (B, C)
     """
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    return xn * scale.reshape(shape) + bias.reshape(shape)
+    out = xn * scale.reshape(shape).astype(jnp.float32) + bias.reshape(shape).astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def upscale2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -46,7 +46,10 @@ def pallas_available() -> bool:
     return _PALLAS_IMPORTED and jax.default_backend() in ("tpu", "axon")
 
 
-TILE_N = 512  # points per grid step; (TILE_N, H) one-hots stay well inside VMEM
+# Points are laid out (B, N/128, 128) so blocks satisfy the TPU (8, 128)
+# sublane/lane tiling rule; one grid step covers TILE_ROWS x 128 points.
+TILE_ROWS = 8
+TILE_N = TILE_ROWS * 128  # 1024 points per grid step
 
 
 def _corner_data(u, v, h, w, exact: bool):
@@ -70,10 +73,10 @@ def _onehot_weighted(idx0, idx1, w0, w1, size, dtype):
 
 
 def _fwd_kernel(u_ref, v_ref, w_ref, img_ref, out_ref, *, h, w, c, exact):
-    u = u_ref[0]
-    v = v_ref[0]
+    u = u_ref[0].reshape(TILE_N)
+    v = v_ref[0].reshape(TILE_N)
     u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
-    wmask = w_ref[0] * bounds.astype(u.dtype)  # padding-mask * in-bounds
+    wmask = w_ref[0].reshape(TILE_N) * bounds.astype(u.dtype)  # padding * in-bounds
     u0f = u0i.astype(u.dtype)
     # weights use the unoverwritten u0+1 (loss_functions.py:209-212)
     wu0 = (u0f + 1.0 - u) * wmask
@@ -89,16 +92,16 @@ def _fwd_kernel(u_ref, v_ref, w_ref, img_ref, out_ref, *, h, w, c, exact):
     t = jnp.dot(au, img, preferred_element_type=jnp.float32)  # (N, W*C)
     t = t.reshape(au.shape[0], w, c)
     out = jnp.sum(t * av[:, :, None], axis=1)  # (N, C)
-    out_ref[0] = out
+    out_ref[0] = out.reshape(TILE_ROWS, 128, c)
 
 
 def _bwd_kernel(u_ref, v_ref, w_ref, img_ref, g_ref, dimg_ref, du_ref, dv_ref,
                 *, h, w, c, exact):
-    u = u_ref[0]
-    v = v_ref[0]
-    g = g_ref[0]  # (N, C)
+    u = u_ref[0].reshape(TILE_N)
+    v = v_ref[0].reshape(TILE_N)
+    g = g_ref[0].reshape(TILE_N, c)
     u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
-    wmask = w_ref[0] * bounds.astype(u.dtype)
+    wmask = w_ref[0].reshape(TILE_N) * bounds.astype(u.dtype)
     u0f = u0i.astype(u.dtype)
     wu0 = (u0f + 1.0 - u) * wmask
     wu1 = (u - u0f) * wmask
@@ -126,14 +129,14 @@ def _bwd_kernel(u_ref, v_ref, w_ref, img_ref, g_ref, dimg_ref, du_ref, dv_ref,
     dau = _onehot_weighted(u0i, u1i, -wmask, wmask, h, u.dtype)
     t = jnp.dot(dau, img, preferred_element_type=jnp.float32).reshape(n, w, c)
     du = jnp.sum(jnp.sum(t * av[:, :, None], axis=1) * g, axis=1)
-    du_ref[0] = du
+    du_ref[0] = du.reshape(TILE_ROWS, 128)
 
     # d v
     # dav unmasked: the mask already rides in au (one factor per product)
     dav = _onehot_weighted(v0i, v1i, -jnp.ones_like(wmask), jnp.ones_like(wmask), w, v.dtype)
     t2 = jnp.dot(au, img, preferred_element_type=jnp.float32).reshape(n, w, c)
     dv = jnp.sum(jnp.sum(t2 * dav[:, :, None], axis=1) * g, axis=1)
-    dv_ref[0] = dv
+    dv_ref[0] = dv.reshape(TILE_ROWS, 128)
 
 
 def _pad_points(x, tile):
@@ -163,23 +166,27 @@ def _fwd_impl(img, u, v, exact, interpret):
     v_p, _ = _pad_points(v, TILE_N)
     mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
     n_pad = u_p.shape[1]
+    rows = n_pad // 128
+    u_r = u_p.reshape(b, rows, 128)
+    v_r = v_p.reshape(b, rows, 128)
+    m_r = mask.reshape(b, rows, 128)
     img_r = img.reshape(b, h, w * c)
 
-    grid = (b, n_pad // TILE_N)
+    grid = (b, rows // TILE_ROWS)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, c=c, exact=exact),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows, 128, c), img.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, TILE_ROWS, 128, c), lambda i, j: (i, j, 0, 0)),
         interpret=interpret,
-    )(u_p, v_p, mask, img_r)
-    return out[:, :n], (img, u, v)
+    )(u_r, v_r, m_r, img_r)
+    return out.reshape(b, n_pad, c)[:, :n], (img, u, v)
 
 
 def _vjp_fwd(img, u, v, exact, interpret):
@@ -193,33 +200,41 @@ def _vjp_bwd(exact, interpret, residuals, g):
     v_p, _ = _pad_points(v, TILE_N)
     mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
     n_pad = u_p.shape[1]
-    g_p = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+    rows = n_pad // 128
+    g_p = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0))).reshape(b, rows, 128, c)
+    u_r = u_p.reshape(b, rows, 128)
+    v_r = v_p.reshape(b, rows, 128)
+    m_r = mask.reshape(b, rows, 128)
     img_r = img.reshape(b, h, w * c)
 
-    grid = (b, n_pad // TILE_N)
+    grid = (b, rows // TILE_ROWS)
     dimg, du, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, h=h, w=w, c=c, exact=exact),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, w * c), img.dtype),
-            jax.ShapeDtypeStruct((b, n_pad), u.dtype),
-            jax.ShapeDtypeStruct((b, n_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, rows, 128), u.dtype),
+            jax.ShapeDtypeStruct((b, rows, 128), v.dtype),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128, c), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (i, j)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
         ),
         interpret=interpret,
-    )(u_p, v_p, mask, img_r, g_p)
-    return dimg.reshape(b, h, w, c), du[:, :n], dv[:, :n]
+    )(u_r, v_r, m_r, img_r, g_p)
+    return (
+        dimg.reshape(b, h, w, c),
+        du.reshape(b, n_pad)[:, :n],
+        dv.reshape(b, n_pad)[:, :n],
+    )
 
 
 bilinear_gather_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -65,10 +65,12 @@ REPORT_KEYS = [
 
 def setup_generator(config):
     """Model factory mirroring ``train_rgbd.py:220-246`` (incl. the DCGAN
-    in_ch=config.ch quirk)."""
+    in_ch=config.ch quirk). ``mixed16: True`` (the yml twin of Chainer's
+    mixed16 global dtype) runs the conv stacks in bf16."""
     rgbd = not bool(config.rgb)
     arch = config.generator_architecture
     initial_depth = config.initial_depth if config.initial_depth is not None else 1.0
+    compute_dtype = jnp.bfloat16 if config.mixed16 else None
     if arch == "stylegan":
         gen = StyleGANGenerator(
             config.ch,
@@ -77,6 +79,7 @@ def setup_generator(config):
             rotate_conv_input=bool(config.rotate_conv_input),
             use_occupancy_net=bool(config.use_occupancy_net_loss),
             initial_depth=initial_depth,
+            compute_dtype=compute_dtype,
         )
         make_hidden = lambda key, n: stylegan_make_hidden(key, n, config.ch)
     elif arch == "dcgan":
@@ -86,6 +89,7 @@ def setup_generator(config):
             rgbd=rgbd,
             use_occupancy_net=bool(config.use_occupancy_net_loss),
             initial_depth=initial_depth,
+            compute_dtype=compute_dtype,
         )
         make_hidden = lambda key, n: dcgan_make_hidden(key, n, config.ch)
     elif arch == "deepvoxels":
@@ -107,6 +111,7 @@ def setup_discriminator(config):
         enable_blur=bool(config.enable_blur),
         sn=bool(config.sn),
         res=bool(config.res_dis),
+        compute_dtype=jnp.bfloat16 if config.mixed16 else None,
     )
 
 
