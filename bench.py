@@ -92,11 +92,12 @@ def build(mixed16: bool):
         sn_state=None,
         iteration=jnp.int32(0),
     )
-    step = jax.jit(
+    step = jax.jit(  # donate: in-place state update in HBM
         make_rgbd_train_step(
             gen, dis, lambda k, n: stylegan_make_hidden(k, n, CH), prior,
             opt_map, opt_gen, opt_dis, spec,
-        )
+        ),
+        donate_argnums=(0,),
     )
     return state, step
 

@@ -66,7 +66,7 @@ def shard_train_step(step: Callable, mesh: Mesh) -> Callable:
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def replicate(tree, mesh: Mesh):

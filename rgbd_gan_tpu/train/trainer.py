@@ -279,7 +279,9 @@ class Trainer:
         if self.use_mesh:
             fn = shard_train_step(step, self.mesh)
         else:
-            fn = jax.jit(step)
+            # donate the state: params/opt buffers are updated in place in
+            # HBM instead of being reallocated every step
+            fn = jax.jit(step, donate_argnums=(0,))
         self._step_cache[spec] = fn
         return fn
 
