@@ -113,22 +113,27 @@ def inv_warp(
 
 
 def bilinear_sample(
-    img: jnp.ndarray, zp: jnp.ndarray, exact: bool = True, use_pallas: bool = False
+    img: jnp.ndarray, zp: jnp.ndarray, exact: bool = True, use_pallas: bool = False,
+    gather_mode: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Perspective-divide + masked bilinear gather (``loss_functions.py:185-228``).
 
     :param img: (B, H, W, C) NHWC image (RGBD or feature+depth)
     :param zp: (B, HW, 3) projected homogeneous coords ``depth * (x, y, 1)``
-    :param use_pallas: route the gather through the fused Pallas TPU kernel
-        (:mod:`..ops.bilinear_pallas`, MXU one-hot contraction) instead of
-        the XLA gather; numerically identical
+    :param use_pallas: back-compat alias for ``gather_mode='pallas'``
+    :param gather_mode: 'xla' (native gather; backward is a scatter-add),
+        'onehot' (:mod:`..ops.bilinear_onehot` — scatter-free MXU einsum,
+        matmul backward), or 'pallas' (:mod:`..ops.bilinear_pallas` — fused
+        kernel with custom VJP). All three are numerically identical.
     :returns: ``warped`` (B*HW, C) sampled values (zero where out of bounds)
               and ``mask`` (B*HW,) float32 in-bounds indicator (stop-grad).
     """
     b, hw, _ = zp.shape
     _, h, w, c = img.shape
     if use_pallas:
-        return _bilinear_sample_pallas(img, zp, exact)
+        gather_mode = "pallas"
+    if gather_mode != "xla":
+        return _bilinear_sample_fused(img, zp, exact, gather_mode)
     zp = zp.reshape(-1, 3)
 
     zc = jnp.clip(zp[:, 2], CLIP_Z_MIN, CLIP_Z_MAX)
@@ -186,10 +191,8 @@ def bilinear_sample(
     return warped, mask
 
 
-def _bilinear_sample_pallas(img, zp, exact):
-    """Pallas-kernel route: same math/masks as the jnp path above."""
-    from ..ops.bilinear_pallas import bilinear_gather_pallas
-
+def _bilinear_sample_fused(img, zp, exact, gather_mode):
+    """Pallas-kernel / one-hot-einsum routes: same math/masks as above."""
     b, hw, _ = zp.shape
     _, h, w, c = img.shape
     zc = jnp.clip(zp[..., 2], CLIP_Z_MIN, CLIP_Z_MAX)
@@ -198,7 +201,14 @@ def _bilinear_sample_pallas(img, zp, exact):
     z_s = jax.lax.stop_gradient(zp[..., 2])
     zmask = (z_s > CLIP_Z_MIN).astype(img.dtype)
 
-    warped = bilinear_gather_pallas(img, u_rows, v_cols, exact)  # (B, HW, C)
+    if gather_mode == "pallas":
+        from ..ops.bilinear_pallas import bilinear_gather_pallas
+
+        warped = bilinear_gather_pallas(img, u_rows, v_cols, exact)  # (B, HW, C)
+    else:
+        from ..ops.bilinear_onehot import bilinear_gather_onehot
+
+        warped = bilinear_gather_onehot(img, u_rows, v_cols, exact)
     warped = warped * zmask[..., None]
 
     u_s = jax.lax.stop_gradient(u_rows)
@@ -223,6 +233,7 @@ def rotate_consistency_loss(
     base_k: Optional[jnp.ndarray] = None,
     exact_bilinear: bool = True,
     use_pallas: bool = False,
+    gather_mode: str = "xla",
     return_debug: bool = False,
 ):
     """3D-consistency loss between two renders of the same latent.
@@ -250,10 +261,12 @@ def rotate_consistency_loss(
     new_zp_rot = inv_warp(k, inv_k, inv_r, t, z_rot, p)
 
     warped, not_out = bilinear_sample(
-        img_rot, new_zp, exact=exact_bilinear, use_pallas=use_pallas
+        img_rot, new_zp, exact=exact_bilinear, use_pallas=use_pallas,
+        gather_mode=gather_mode,
     )
     warped_rot, not_out_rot = bilinear_sample(
-        img, new_zp_rot, exact=exact_bilinear, use_pallas=use_pallas
+        img, new_zp_rot, exact=exact_bilinear, use_pallas=use_pallas,
+        gather_mode=gather_mode,
     )
     if return_debug:
         return warped, not_out, new_zp, warped_rot, not_out_rot, new_zp_rot

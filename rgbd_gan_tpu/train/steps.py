@@ -64,6 +64,7 @@ class StepSpec:
     lambda_occupancy: float = 1.0
     style_mixing_rate: float = 0.0
     exact_bilinear: bool = True
+    gather_mode: str = "xla"  # 'xla' | 'onehot' (scatter-free) | 'pallas'
     axis_name: Optional[str] = None
     max_stage: int = 17
 
@@ -149,6 +150,7 @@ def make_rgbd_train_step(
                     occlusion_aware=spec.occlusion_aware,
                     lambda_geometric=spec.lambda_geometric,
                     exact_bilinear=spec.exact_bilinear,
+                    gather_mode=spec.gather_mode,
                 )
                 if spec.rotate_feature and feat_d is not None:
                     # reference quirk (updater.py:347): the "depth" appended
@@ -169,6 +171,7 @@ def make_rgbd_train_step(
                         norm="l2",
                         lambda_geometric=spec.lambda_geometric,
                         exact_bilinear=spec.exact_bilinear,
+                        gather_mode=spec.gather_mode,
                     )
                     loss_rotate = loss_rotate + loss_rf
                 if spec.lambda_depth > 0:
@@ -251,6 +254,7 @@ def make_rgbd_train_step(
                     occlusion_aware=spec.occlusion_aware, norm="l2",
                     lambda_geometric=spec.lambda_geometric,
                     exact_bilinear=spec.exact_bilinear,
+                    gather_mode=spec.gather_mode,
                 )
                 # adversarial: D *maximises* feature 3D-consistency error
                 loss = loss - loss_rf

@@ -118,12 +118,14 @@ def make_deepvoxels_train_step(
                         x_fake[:half], mats[:half], x_fake[half:], mats[half:],
                         lambda_geometric=spec.lambda_geometric, base_k=base_k,
                         max_depth=3.0, exact_bilinear=spec.exact_bilinear,
+                        gather_mode=spec.gather_mode,
                     )
                     virtual = mats.at[:, :3, 3].set(0.0)
                     loss_back, _ = rotate_consistency_loss(
                         x_fake[:half], virtual[:half], x_fake[half:], virtual[half:],
                         lambda_geometric=spec.lambda_geometric, base_k=base_k,
                         min_depth=3.0, exact_bilinear=spec.exact_bilinear,
+                        gather_mode=spec.gather_mode,
                     )
                     loss_rotate = loss_fore + loss_back
                 else:
@@ -131,6 +133,7 @@ def make_deepvoxels_train_step(
                         x_fake[:half], mats[:half], x_fake[half:], mats[half:],
                         lambda_geometric=spec.lambda_geometric, base_k=base_k,
                         exact_bilinear=spec.exact_bilinear,
+                        gather_mode=spec.gather_mode,
                     )
                 loss_rotate = loss_rotate + spec.lambda_depth * jnp.mean(
                     jax.nn.relu(spec.depth_min - x_fake[..., -1]) ** 2

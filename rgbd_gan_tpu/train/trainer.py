@@ -249,9 +249,18 @@ class Trainer:
             lambda_geometric=c.lambda_geometric if c.lambda_geometric else 3.0,
             lambda_rotate=c.lambda_rotate if c.lambda_rotate else 2.0,
             lambda_occupancy=c.lambda_occupancy if c.lambda_occupancy else 1.0,
+            gather_mode=self._gather_mode(),
             axis_name=DATA_AXIS if self.use_mesh else None,
             max_stage=self.max_stage,
         )
+
+    def _gather_mode(self) -> str:
+        """The 3D-consistency gather route: explicit yml key, else the
+        scatter-free one-hot einsum on TPU (its matmul backward beats the
+        XLA scatter-add there), plain gather elsewhere."""
+        if self.config.gather_mode:
+            return str(self.config.gather_mode)
+        return "onehot" if jax.default_backend() not in ("cpu",) else "xla"
 
     def _compiled_step(self, spec: StepSpec) -> Callable:
         if spec in self._step_cache:

@@ -90,3 +90,32 @@ class TestPadding:
         z = jnp.ones_like(u)
         ref, _ = bilinear_sample(img, jnp.stack([v, u, z], axis=-1), exact=True)
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-5)
+
+
+class TestOnehotRoute:
+    """The scatter-free one-hot einsum route must match both other paths."""
+
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_forward_and_grads_match_xla(self, exact):
+        from rgbd_gan_tpu.geometry.warp import bilinear_sample
+
+        rng = np.random.RandomState(7)
+        img = jnp.asarray(rng.rand(2, 16, 16, 4).astype("f"))
+        zp = jnp.asarray(
+            (rng.rand(2, 300, 3) * np.array([20, 20, 1.2]) - np.array([2, 2, 0])).astype("f")
+        )
+
+        wx, mx = bilinear_sample(img, zp, exact=exact)
+        wo, mo = bilinear_sample(img, zp, exact=exact, gather_mode="onehot")
+        np.testing.assert_allclose(np.asarray(wo), np.asarray(wx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mo), np.asarray(mx), atol=1e-7)
+
+        def loss(mode):
+            return lambda i, z: jnp.sum(
+                bilinear_sample(i, z, exact=exact, gather_mode=mode)[0] ** 2
+            )
+
+        gx = jax.grad(loss("xla"), argnums=(0, 1))(img, zp)
+        go = jax.grad(loss("onehot"), argnums=(0, 1))(img, zp)
+        for a, b in zip(gx, go):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
