@@ -81,6 +81,7 @@ def build(mixed16: bool):
         lambda_depth=10.0,
         depth_min=1.0,
         lambda_geometric=3.0,
+        gather_mode="onehot",  # scatter-free 3D-consistency backward
     )
     state = TrainState(
         params_gen=params_gen,

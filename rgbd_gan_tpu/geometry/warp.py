@@ -208,7 +208,10 @@ def _bilinear_sample_fused(img, zp, exact, gather_mode):
     else:
         from ..ops.bilinear_onehot import bilinear_gather_onehot
 
-        warped = bilinear_gather_onehot(img, u_rows, v_cols, exact)
+        operand_dtype = jnp.bfloat16 if gather_mode == "onehot_bf16" else None
+        warped = bilinear_gather_onehot(
+            img, u_rows, v_cols, exact, operand_dtype=operand_dtype
+        )
     warped = warped * zmask[..., None]
 
     u_s = jax.lax.stop_gradient(u_rows)

@@ -52,9 +52,14 @@ def _weighted_onehots(u, v, h, w, exact: bool):
 
 def bilinear_gather_onehot(
     img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, exact: bool = True,
-    chunk: int = CHUNK,
+    chunk: int = CHUNK, operand_dtype=None,
 ) -> jnp.ndarray:
-    """(B, H, W, C), (B, N), (B, N) -> (B, N, C); u rows, v columns."""
+    """(B, H, W, C), (B, N), (B, N) -> (B, N, C); u rows, v columns.
+
+    ``operand_dtype=jnp.bfloat16`` feeds the MXU bf16 operands with f32
+    accumulation (2x rate; weights/values are in [0, 1]/[-1, 1] so bf16's
+    8-bit mantissa costs ~3 decimal digits on the loss — opt-in).
+    """
     b, h, w, c = img.shape
     n = u.shape[1]
     pad = (-n) % chunk
@@ -69,10 +74,17 @@ def bilinear_gather_onehot(
     def one(uv):
         uu, vv = uv
         au, av, _ = _weighted_onehots(uu, vv, h, w, exact)  # (B, chunk, h/w)
+        lhs, rhs = au, img_r
+        if operand_dtype is not None:
+            lhs, rhs = au.astype(operand_dtype), img_r.astype(operand_dtype)
         t = jnp.einsum(
-            "bih,bhq->biq", au, img_r, preferred_element_type=jnp.float32
+            "bih,bhq->biq", lhs, rhs, preferred_element_type=jnp.float32
         ).reshape(b, chunk, w, c)
-        return jnp.einsum("biw,biwc->bic", av, t, preferred_element_type=jnp.float32)
+        av_ = av.astype(operand_dtype) if operand_dtype is not None else av
+        return jnp.einsum(
+            "biw,biwc->bic", av_, t.astype(av_.dtype) if operand_dtype is not None else t,
+            preferred_element_type=jnp.float32,
+        )
 
     out = jax.lax.map(one, (u_c, v_c))  # (k, B, chunk, C)
     out = out.transpose(1, 0, 2, 3).reshape(b, k * chunk, c)

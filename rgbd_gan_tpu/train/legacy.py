@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, downsize_real, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss, l2_loss, r1_penalty
 from .optim import get_lr_scale_factor
 from .state import TrainState
 from .steps import StepSpec, _dis_apply, _pmean
@@ -123,16 +123,23 @@ def make_legacy_train_step(
             y_fake, sn2 = _dis_apply(
                 dis, params_dis, sn1, x_fake_rgb, stage, alpha, mutable_sn=True
             )
-            y_real, sn3 = _dis_apply(dis, params_dis, sn2, x_real, stage, alpha, mutable_sn=True)
-            loss_adv = dis_adv_loss(y_fake, y_real)
-            metrics = {"dis/loss_adv": loss_adv}
-            loss = loss_adv
             if spec.lambda_gp > 0:
-                gp = spec.lambda_gp * r1_penalty(
-                    lambda xr: _dis_apply(dis, params_dis, sn1, xr, stage, alpha)[0], x_real
+                y_real, gp_raw = dis_out_and_r1(
+                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_real
                 )
+                sn3 = sn2
+                loss_adv = dis_adv_loss(y_fake, y_real)
+                metrics = {"dis/loss_adv": loss_adv}
+                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
-                loss = loss + gp
+                loss = loss_adv + gp
+            else:
+                y_real, sn3 = _dis_apply(
+                    dis, params_dis, sn2, x_real, stage, alpha, mutable_sn=True
+                )
+                loss_adv = dis_adv_loss(y_fake, y_real)
+                metrics = {"dis/loss_adv": loss_adv}
+                loss = loss_adv
             return loss * lr_scale, (sn3, metrics)
 
         (loss_dis, (sn_state, dmetrics)), grads_dis = jax.value_and_grad(

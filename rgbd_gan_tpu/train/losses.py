@@ -59,6 +59,21 @@ def r1_penalty(dis_fn: Callable[[jnp.ndarray], jnp.ndarray], x_real: jnp.ndarray
     return l2_loss(jnp.sqrt(sq_norms + 1e-24), 0.0)
 
 
+def dis_out_and_r1(dis_fn: Callable[[jnp.ndarray], jnp.ndarray], x_real: jnp.ndarray):
+    """One-forward fusion of D(x_real) and its R1 penalty via ``jax.vjp``.
+
+    The reference reuses the ``y_real`` graph for the penalty
+    (``chainer.grad([y_real], [x_real])``, ``updater.py:416``); ``jax.vjp``
+    reproduces that exactly — the primal forward is shared, the cotangent of
+    ones gives d(sum y)/dx, and both outputs stay differentiable wrt the
+    discriminator parameters (double backprop through the vjp).
+    """
+    y_real, vjp_fn = jax.vjp(dis_fn, x_real)
+    (grad_x,) = vjp_fn(jnp.ones_like(y_real))
+    sq_norms = jnp.sum(grad_x**2, axis=tuple(range(1, grad_x.ndim)))
+    return y_real, l2_loss(jnp.sqrt(sq_norms + 1e-24), 0.0)
+
+
 def _avg_pool_by(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """NHWC average pool with kernel=stride=scale."""
     if scale <= 1:

@@ -38,7 +38,7 @@ import optax
 from ..geometry.camera import camera_matrices, theta_to_9dof
 from ..geometry.warp import occupancy_net_loss, rotate_consistency_loss
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, downsize_real, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss, l2_loss, r1_penalty
 from .state import TrainState
 
 
@@ -228,19 +228,24 @@ def make_rgbd_train_step(
                 dis, params_dis, sn1, x_fake_rgb, stage, alpha,
                 return_hidden=True, mutable_sn=True,
             )
-            (y_real, _), sn3 = _dis_apply(
-                dis, params_dis, sn2, x_real, stage, alpha,
-                return_hidden=True, mutable_sn=True,
-            )
-            loss = dis_adv_loss(y_fake, y_real)
             metrics = {}
-
             if not spec.sn and spec.lambda_gp > 0:
-                gp = spec.lambda_gp * r1_penalty(
-                    lambda xr: _dis_apply(dis, params_dis, sn1, xr, stage, alpha)[0], x_real
+                # one shared D(x_real) forward feeds both the adversarial
+                # term and the R1 penalty, like the reference's graph reuse
+                y_real, gp_raw = dis_out_and_r1(
+                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_real
                 )
+                sn3 = sn2
+                loss = dis_adv_loss(y_fake, y_real)
+                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
+            else:
+                (y_real, _), sn3 = _dis_apply(
+                    dis, params_dis, sn2, x_real, stage, alpha,
+                    return_hidden=True, mutable_sn=True,
+                )
+                loss = dis_adv_loss(y_fake, y_real)
 
             if spec.use_rotate and spec.rotate_feature and feat_fake is not None:
                 rate = x_real.shape[1] // feat_fake.shape[1]
@@ -369,17 +374,21 @@ def make_rgb_train_step(
             y_fake, sn2 = _dis_apply(
                 dis, params_dis, sn1, x_fake_rgb, stage, alpha, mutable_sn=True
             )
-            y_real, sn3 = _dis_apply(
-                dis, params_dis, sn2, x_real, stage, alpha, mutable_sn=True
-            )
-            loss = dis_adv_loss(y_fake, y_real)
             metrics = {}
             if not spec.sn and spec.lambda_gp > 0:
-                gp = spec.lambda_gp * r1_penalty(
-                    lambda xr: _dis_apply(dis, params_dis, sn1, xr, stage, alpha)[0], x_real
+                y_real, gp_raw = dis_out_and_r1(
+                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_real
                 )
+                sn3 = sn2
+                loss = dis_adv_loss(y_fake, y_real)
+                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
+            else:
+                y_real, sn3 = _dis_apply(
+                    dis, params_dis, sn2, x_real, stage, alpha, mutable_sn=True
+                )
+                loss = dis_adv_loss(y_fake, y_real)
             metrics["dis/loss_adv"] = loss
             return loss, (sn3, metrics)
 

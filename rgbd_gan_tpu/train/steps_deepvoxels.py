@@ -38,7 +38,7 @@ from ..geometry.camera import camera_matrices, theta_to_9dof
 from ..geometry.warp import rotate_consistency_loss
 from ..models.deepvoxels import PROJECTION_INTRINSIC
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, gen_adv_loss, l2_loss, r1_penalty
 from .state import TrainState
 from .steps import StepSpec, _dis_apply, _pmean
 
@@ -173,20 +173,24 @@ def make_deepvoxels_train_step(
             y_fake, sn2 = _dis_apply(
                 dis, params_dis, sn1, x_fake_rgb, DEEPVOXELS_STAGE, alpha, mutable_sn=True
             )
-            y_real, sn3 = _dis_apply(
-                dis, params_dis, sn2, x_real, DEEPVOXELS_STAGE, alpha, mutable_sn=True
-            )
-            loss = dis_adv_loss(y_fake, y_real)
             metrics = {}
             if not spec.sn and spec.lambda_gp > 0:
-                gp = spec.lambda_gp * r1_penalty(
+                y_real, gp_raw = dis_out_and_r1(
                     lambda xr: _dis_apply(
-                        dis, params_dis, sn1, xr, DEEPVOXELS_STAGE, alpha
+                        dis, params_dis, sn2, xr, DEEPVOXELS_STAGE, alpha
                     )[0],
                     x_real,
                 )
+                sn3 = sn2
+                loss = dis_adv_loss(y_fake, y_real)
+                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
+            else:
+                y_real, sn3 = _dis_apply(
+                    dis, params_dis, sn2, x_real, DEEPVOXELS_STAGE, alpha, mutable_sn=True
+                )
+                loss = dis_adv_loss(y_fake, y_real)
             metrics["dis/loss_adv"] = loss
             return loss, (sn3, metrics)
 
