@@ -267,3 +267,40 @@ class TestDownsizeReal:
         # alpha=0 -> upsampled low-res; 2x2 blocks constant
         y0 = np.asarray(y0)
         np.testing.assert_allclose(y0[:, 0::2, 0::2], y0[:, 1::2, 1::2], atol=1e-6)
+
+
+class TestLegacyStep:
+    def test_style_mixing_legacy_updater(self):
+        from rgbd_gan_tpu.train.legacy import make_legacy_train_step
+        from rgbd_gan_tpu.train import make_stylegan_gen_optimizer
+
+        gen = StyleGANGenerator(CH, rgbd=False)
+        dis = Discriminator(ch=CH, res=True)
+        z = stylegan_make_hidden(jax.random.PRNGKey(0), BATCH, CH)
+        params_gen = gen.init(jax.random.PRNGKey(1), z, None, method=gen.init_all)["params"]
+        params_dis = dis.init(
+            jax.random.PRNGKey(2), jnp.ones((BATCH, 4, 4, 3)), method=dis.init_all
+        )["params"]
+        opt_map = make_optimizer(0.00001, 0.0, 0.999)
+        opt_gen = make_stylegan_gen_optimizer(0.001, 0.0, 0.999, rgbd=False)
+        opt_dis = make_optimizer(0.003, 0.0, 0.999)
+        spec = StepSpec(
+            architecture="stylegan", stage_floor=6, batch_size=BATCH,
+            style_mixing_rate=0.9, keep_smoothed_gen=False,
+        )
+        state = TrainState(
+            params_gen=params_gen, params_dis=params_dis,
+            opt_map=opt_map.init(params_gen["mapping"]),
+            opt_gen=opt_gen.init(params_gen["gen"]),
+            opt_dis=opt_dis.init(params_dis),
+            ema_gen=None, sn_state=None, iteration=jnp.int32(0),
+        )
+        step = make_legacy_train_step(
+            gen, dis, lambda k, n: stylegan_make_hidden(k, n, CH),
+            opt_map, opt_gen, opt_dis, spec, total_devices=1,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, FULL, FULL, 3), minval=-1, maxval=1)
+        new_state, metrics = jax.jit(step)(state, x, jnp.float32(0.0), jax.random.PRNGKey(4))
+        assert not bool(metrics["nan"])
+        assert np.isfinite(float(metrics["dis/loss_gp"]))
+        assert int(new_state.iteration) == 1
