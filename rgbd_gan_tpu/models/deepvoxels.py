@@ -626,13 +626,18 @@ def deepvoxels_make_hidden(key: jax.Array, batch_size: int, ch: int) -> jnp.ndar
 
 
 class DeepVoxelsGenerator(nn.Module):
-    """Voxel-volume renderer generator producing 64x64 RGBD."""
+    """Voxel-volume renderer generator producing 64x64 RGBD.
+
+    ``compute_dtype=jnp.bfloat16`` runs the 3D voxel stack and the 2D style
+    refiner on bf16 MXU passes; the frustum lift, occlusion reasoning and
+    depth decode stay f32 (geometry fidelity)."""
 
     ch: int
     occlusion_type: str = "deepvoxels"
     background_generator: bool = False
     accumulative_threshold: float = 4.0
     exact_lifting: bool = True
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.mapping = MappingNetwork(self.ch)
@@ -668,7 +673,9 @@ class DeepVoxelsGenerator(nn.Module):
         z = z.reshape(z.shape[0], -1)
         z2 = z2.reshape(z2.shape[0], -1)
         w = self.mapping(z)
-        voxel = self.voxel_gen(w)  # (B, 32, 32, 32, feats)
+        if self.compute_dtype is not None:
+            w = w.astype(self.compute_dtype)
+        voxel = self.voxel_gen(w).astype(jnp.float32)  # (B, 32, 32, 32, feats)
         frustum = lift_frustum(voxel, camera_matrices, self.frustum_coords)
 
         if self.occlusion_type == "rendernet":
@@ -689,8 +696,11 @@ class DeepVoxelsGenerator(nn.Module):
                 depth = depth + background_depth * (1.0 - foreground_weight)
 
         w2 = self.mapping(z2)
-        novel_img = self.style_generator(novel_feats, w2)
-        return jnp.concatenate([novel_img, depth], axis=-1)
+        if self.compute_dtype is not None:
+            w2 = w2.astype(self.compute_dtype)
+            novel_feats = novel_feats.astype(self.compute_dtype)
+        novel_img = self.style_generator(novel_feats, w2).astype(jnp.float32)
+        return jnp.concatenate([novel_img, depth.astype(jnp.float32)], axis=-1)
 
     def init_all(self, z, camera_matrices, z2, theta=None):
         out = self(z, camera_matrices, z2, theta, z3=z, z4=z2)
@@ -737,6 +747,7 @@ def build_deepvoxels_generator(config):
         accumulative_threshold=(
             config.accumulative_threshold if config.accumulative_threshold else 4.0
         ),
+        compute_dtype=jnp.bfloat16 if config.mixed16 else None,
     )
     make_hidden = lambda key, n: deepvoxels_make_hidden(key, n, config.ch)
     return gen, make_hidden
