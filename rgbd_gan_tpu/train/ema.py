@@ -18,6 +18,8 @@ def soft_copy_params(target, source, tau: float):
 
 
 def copy_params(source):
-    """Hard copy (``copy_param.py:3-15``) — pytrees are immutable, so this is
-    the identity; provided for API parity."""
-    return jax.tree_util.tree_map(lambda s: s, source)
+    """Hard copy (``copy_param.py:3-15``). A *real* buffer copy: aliased
+    trees break buffer donation (donating the same buffer twice)."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, source)

@@ -211,7 +211,9 @@ class Trainer:
         opt_dis_state = self.opt_dis.init(params_dis)
 
         keep_ema = bool(self.config.keep_smoothed_gen) and is_master()
-        ema = jax.tree_util.tree_map(lambda x: x, params_gen) if keep_ema else None
+        # real copies: the state is donated to the jitted step, and donating
+        # aliased params/EMA buffers twice is an XLA error
+        ema = jax.tree_util.tree_map(jnp.copy, params_gen) if keep_ema else None
         return TrainState(
             params_gen=params_gen,
             params_dis=params_dis,
