@@ -224,38 +224,12 @@ def make_rgbd_train_step(
         x_fake_rgb = jax.lax.stop_gradient(x_fake[..., :3])
 
         def dis_loss_fn(params_dis):
+            (y_fake, feat_fake), sn2 = _dis_apply(
+                dis, params_dis, sn1, x_fake_rgb, stage, alpha,
+                return_hidden=True, mutable_sn=True,
+            )
             metrics = {}
-            fused = not spec.sn and spec.lambda_gp > 0 and not spec.rotate_feature
-            if fused:
-                # one 64-batch D pass scores fakes and reals together, and its
-                # vjp (cotangent masked to the real half) is the R1 gradient —
-                # identical math to the reference's separate forwards + graph
-                # reuse, with better MXU utilisation. Valid because D has no
-                # cross-batch ops (no BN) and SN is off.
-                x_cat = jnp.concatenate([x_fake_rgb, x_real], axis=0)
-                y_all, vjp_fn = jax.vjp(
-                    lambda xc: _dis_apply(dis, params_dis, sn1, xc, stage, alpha)[0],
-                    x_cat,
-                )
-                nf = x_fake_rgb.shape[0]
-                y_fake, y_real = y_all[:nf], y_all[nf:]
-                feat_fake = None
-                cot = jnp.concatenate(
-                    [jnp.zeros_like(y_all[:nf]), jnp.ones_like(y_all[nf:])], axis=0
-                )
-                (gxc,) = vjp_fn(cot)
-                grad_real = gxc[nf:]
-                sq = jnp.sum(grad_real**2, axis=tuple(range(1, grad_real.ndim)))
-                gp = spec.lambda_gp * l2_loss(jnp.sqrt(sq + 1e-24), 0.0)
-                sn3 = sn1
-                loss = dis_adv_loss(y_fake, y_real)
-                metrics["dis/loss_gp"] = gp
-                loss = loss + gp
-            elif not spec.sn and spec.lambda_gp > 0:
-                (y_fake, feat_fake), sn2 = _dis_apply(
-                    dis, params_dis, sn1, x_fake_rgb, stage, alpha,
-                    return_hidden=True, mutable_sn=True,
-                )
+            if not spec.sn and spec.lambda_gp > 0:
                 # one shared D(x_real) forward feeds both the adversarial
                 # term and the R1 penalty, like the reference's graph reuse
                 y_real, gp_raw = dis_out_and_r1(
@@ -267,10 +241,6 @@ def make_rgbd_train_step(
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
             else:
-                (y_fake, feat_fake), sn2 = _dis_apply(
-                    dis, params_dis, sn1, x_fake_rgb, stage, alpha,
-                    return_hidden=True, mutable_sn=True,
-                )
                 (y_real, _), sn3 = _dis_apply(
                     dis, params_dis, sn2, x_real, stage, alpha,
                     return_hidden=True, mutable_sn=True,
