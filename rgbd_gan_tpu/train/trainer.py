@@ -133,9 +133,11 @@ class Trainer:
         self.dis = setup_discriminator(config)
 
         self.stage_interval = parse_stage_interval(config.stage_interval)
-        if self.fleet_size > 1:
-            # schedule compression under data parallelism (train_rgbd.py:133-135)
-            self.stage_interval = [s // self.fleet_size for s in self.stage_interval]
+        # NB: the reference's fleet-size schedule compression
+        # (RunningHelper.stage_interval, train_rgbd.py:133-135) is dead code
+        # in the shipped path — the updaters parse config.stage_interval (a
+        # comma string the property would TypeError on) directly, unscaled
+        # (updater.py:242). Faithful behaviour: no scaling.
         self.max_stage = config.max_stage
 
         self.prior = CameraParamPrior(config)
