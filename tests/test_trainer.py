@@ -169,3 +169,22 @@ class TestPreview:
         img = np.asarray(Image.open(os.path.join(config.out, "preview", "image_latest.png")))
         # 8x8 grid, RGBD -> 16 rows of 64px (eval-mode min size), 8 cols
         assert img.shape == (16 * 64, 8 * 64, 3)
+
+
+class TestProductionModes:
+    def test_mixed16_onehot_trainer(self, tmp_path):
+        """The TPU-default production mode (bf16 + scatter-free gather) must
+        run end-to-end on CPU too."""
+        config = tiny_config(
+            tmp_path, mixed16=True, gather_mode="onehot", iteration=2,
+            keep_smoothed_gen=False, snapshot_interval=100,
+        )
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        assert t._gather_mode() == "onehot"
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(t.state.iteration) == 2
+        for row in rows:
+            assert np.isfinite(row["gen/loss_adv"])
+            assert np.isfinite(row["dis/loss_gp"])
