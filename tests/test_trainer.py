@@ -220,3 +220,21 @@ class TestProgressiveSchedule:
         assert len(t._step_cache) >= 2
         for r in rows:
             assert np.isfinite(r["gen/loss_adv"])
+
+
+class TestFailureDetection:
+    def test_nan_guard_raises(self, tmp_path):
+        """SURVEY §5.3: the reference crashes on NaN losses (inline asserts);
+        our step surfaces a nan flag the trainer turns into an error, relying
+        on auto-resume for recovery."""
+        config = tiny_config(tmp_path, iteration=1, keep_smoothed_gen=False)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        # poison one generator weight
+        t.state = t.state.replace(
+            params_gen=jax.tree_util.tree_map(
+                lambda x: x * np.nan, t.state.params_gen
+            )
+        )
+        with pytest.raises(FloatingPointError):
+            t.run()
