@@ -139,11 +139,16 @@ def lift_frustum(
     fy = yi - y0.astype(yi.dtype)
     fz = zi - z0.astype(zi.dtype)
 
-    vflat = voxel.reshape(b, g * g * g, c)
+    # flat single-table gather: batched take_along_axis lowers to a slow
+    # per-row gather on TPU, while one flat jnp.take over the concatenated
+    # batch is bandwidth-bound (measured ~100x faster at these shapes)
+    vflat = voxel.reshape(b * g * g * g, c)
+    n_cells = coords_const.shape[1]
+    base = (jnp.arange(b, dtype=jnp.int32) * (g * g * g))[:, None]
 
     def gather(ix, iy, iz):
-        lin = (ix * g + iy) * g + iz  # (B, N)
-        return jnp.take_along_axis(vflat, lin[..., None], axis=1)  # (B, N, C)
+        lin = base + (ix * g + iy) * g + iz  # (B, N)
+        return jnp.take(vflat, lin.reshape(-1), axis=0).reshape(b, n_cells, c)
 
     fx_ = fx[..., None]
     fy_ = fy[..., None]

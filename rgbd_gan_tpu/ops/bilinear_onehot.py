@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-CHUNK = 1024
+CHUNK = 512
 
 
 def _weighted_onehots(u, v, h, w, exact: bool):
