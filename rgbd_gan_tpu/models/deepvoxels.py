@@ -193,14 +193,10 @@ def lift_frustum(
     return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
 
 
-LIFT_CHUNK = 512  # frustum cells per lax.map step: bounds the 16KB/cell blob
-
-
 def _lift_frustum_lines(voxel, cam2world, coords_const):
     """Corner-line lift: one 4*G*C-wide row gather per cell + in-register
-    z-interpolation, chunked over cells so the per-cell line blob never
-    materialises at full size. Numerically identical to the 8-corner gather
-    (the z0/z1 one-hot selection reproduces the same clamped corner set)."""
+    z-interpolation. Numerically identical to the 8-corner gather (the z0/z1
+    one-hot selection reproduces the same clamped corner set)."""
     b = voxel.shape[0]
     c = voxel.shape[-1]
     g = GRID_DIM
@@ -217,33 +213,27 @@ def _lift_frustum_lines(voxel, cam2world, coords_const):
     table = table.reshape(b * g * g, 4 * g * c)
 
     base = (jnp.arange(b, dtype=jnp.int32) * (g * g))[:, None]
-    row_idx = base + x0 * g + y0  # (B, N)
+    rows = jnp.take(table, (base + x0 * g + y0).reshape(-1), axis=0)
+    lines = rows.reshape(b, n, 4, g, c)
 
-    chunk = LIFT_CHUNK
-    k = n // chunk  # N = 56*64*64 is a multiple of 512
-    to_chunks = lambda a: a.reshape(b, k, chunk).transpose(1, 0, 2)  # (k, B, chunk)
+    # z-interpolation in registers: one-hot over the 32-length line
+    z0f = z0.astype(fz.dtype)
+    ziota = jax.lax.broadcasted_iota(jnp.int32, (b, n, g), 2)
+    z1 = jnp.minimum(z0 + 1, g - 1)
+    sel0 = (ziota == z0[..., None]).astype(fz.dtype)
+    sel1 = (ziota == z1[..., None]).astype(fz.dtype)
+    # weight along z folded into the selection: (1-fz)*line[z0] + fz*line[z1]
+    zsel = sel0 * (1.0 - fz)[..., None] + sel1 * fz[..., None]  # (B, N, g)
+    vals = jnp.einsum("bnkzc,bnz->bnkc", lines.astype(jnp.float32), zsel)
 
-    def one(args):
-        ridx, zz0, ffx, ffy, ffz = args  # each (B, chunk)
-        rows = jnp.take(table, ridx.reshape(-1), axis=0)
-        lines = rows.reshape(b, chunk, 4, g, c).astype(jnp.float32)
-        ziota = jax.lax.broadcasted_iota(jnp.int32, (b, chunk, g), 2)
-        z1 = jnp.minimum(zz0 + 1, g - 1)
-        zsel = (ziota == zz0[..., None]).astype(jnp.float32) * (1.0 - ffz)[..., None]
-        zsel = zsel + (ziota == z1[..., None]).astype(jnp.float32) * ffz[..., None]
-        vals = jnp.einsum("bnkzc,bnz->bnkc", lines, zsel)
-        out = (
-            vals[:, :, 0] * ((1 - ffx) * (1 - ffy))[..., None]
-            + vals[:, :, 1] * ((1 - ffx) * ffy)[..., None]
-            + vals[:, :, 2] * (ffx * (1 - ffy))[..., None]
-            + vals[:, :, 3] * (ffx * ffy)[..., None]
-        )
-        return out  # (B, chunk, C)
-
-    out = jax.lax.map(
-        one, (to_chunks(row_idx), to_chunks(z0), to_chunks(fx), to_chunks(fy), to_chunks(fz))
-    )  # (k, B, chunk, C)
-    out = out.transpose(1, 0, 2, 3).reshape(b, n, c)
+    wx0, wx1 = 1.0 - fx, fx
+    wy0, wy1 = 1.0 - fy, fy
+    out = (
+        vals[:, :, 0] * (wx0 * wy0)[..., None]
+        + vals[:, :, 1] * (wx0 * wy1)[..., None]
+        + vals[:, :, 2] * (wx1 * wy0)[..., None]
+        + vals[:, :, 3] * (wx1 * wy1)[..., None]
+    )
     out = out * in_bounds[..., None].astype(out.dtype)
     return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
 
