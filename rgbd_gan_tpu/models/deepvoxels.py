@@ -102,28 +102,8 @@ def frustum_camera_coords(exact_lifting: bool = True) -> np.ndarray:
     return np.stack([xc, yc, zc, np.ones_like(zc)]).astype("float32")
 
 
-def _lift_corner_data(cam2world: jnp.ndarray, coords_const: jnp.ndarray, g: int):
-    """Shared index/frac/mask math for both lift methods."""
-    grid_coords = jnp.einsum("bij,jn->bin", cam2world, coords_const)  # (B, 4, N)
-    vox = grid_coords[:, :3] / VOXEL_SIZE + g / 2  # (B, 3, N)
-    in_bounds = jnp.all(vox >= 0, axis=1) & jnp.all(vox < g, axis=1)  # (B, N)
-    # axis roles follow interpolate_trilinear (deepvoxel.py:394-396):
-    # grid spatial dim0 <- vox row 2, dim1 <- row 1, dim2 <- row 0
-    xi, yi, zi = vox[:, 2], vox[:, 1], vox[:, 0]
-    x0 = jnp.clip(xi.astype(jnp.int32), 0, g - 1)
-    y0 = jnp.clip(yi.astype(jnp.int32), 0, g - 1)
-    z0 = jnp.clip(zi.astype(jnp.int32), 0, g - 1)
-    fx = xi - x0.astype(xi.dtype)
-    fy = yi - y0.astype(yi.dtype)
-    fz = zi - z0.astype(zi.dtype)
-    return x0, y0, z0, fx, fy, fz, in_bounds
-
-
 def lift_frustum(
-    voxel: jnp.ndarray,
-    cam2world: jnp.ndarray,
-    coords_const: jnp.ndarray,
-    method: str = "lines",
+    voxel: jnp.ndarray, cam2world: jnp.ndarray, coords_const: jnp.ndarray
 ) -> jnp.ndarray:
     """Resample the voxel grid into each camera's view frustum (dense).
 
@@ -131,14 +111,8 @@ def lift_frustum(
         the reference's conv output dims
     :param cam2world: (B, 4, 4)
     :param coords_const: (4, N) from :func:`frustum_camera_coords`
-    :param method: 'lines' (default) gathers one fully-tile-utilised
-        corner-line row per frustum cell — TPU gathers fetch whole (8, 128)
-        tiles, so the naive 8-corner point gather wastes ~30x the bytes;
-        'gather' is the direct 8-corner formulation (kept for cross-checks).
     :returns: (B, FRUSTUM_DEPTH, H, W, C) canonical view volumes
     """
-    if method == "lines":
-        return _lift_frustum_lines(voxel, cam2world, coords_const)
     b = voxel.shape[0]
     c = voxel.shape[-1]
     g = GRID_DIM
@@ -188,51 +162,6 @@ def lift_frustum(
         + gather(x0, y1, z1) * (1 - fx_) * fy_ * fz_
         + gather(x1, y1, z0) * fx_ * fy_ * (1 - fz_)
         + gather(x1, y1, z1) * fx_ * fy_ * fz_
-    )
-    out = out * in_bounds[..., None].astype(out.dtype)
-    return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
-
-
-def _lift_frustum_lines(voxel, cam2world, coords_const):
-    """Corner-line lift: one 4*G*C-wide row gather per cell + in-register
-    z-interpolation. Numerically identical to the 8-corner gather (the z0/z1
-    one-hot selection reproduces the same clamped corner set)."""
-    b = voxel.shape[0]
-    c = voxel.shape[-1]
-    g = GRID_DIM
-    n = coords_const.shape[1]
-    x0, y0, z0, fx, fy, fz, in_bounds = _lift_corner_data(cam2world, coords_const, g)
-
-    # corner-line table: T[b, x, y] = [V[x,y,:], V[x,y1,:], V[x1,y,:], V[x1,y1,:]]
-    # with x1/y1 clamped like the reference (deepvoxel.py:406-408)
-    idx1 = jnp.minimum(jnp.arange(g) + 1, g - 1)
-    vx1 = voxel[:, idx1]  # (B, g, g, g, C)
-    table = jnp.stack(
-        [voxel, voxel[:, :, idx1], vx1, vx1[:, :, idx1]], axis=3
-    )  # (B, g, g, 4, g, C)
-    table = table.reshape(b * g * g, 4 * g * c)
-
-    base = (jnp.arange(b, dtype=jnp.int32) * (g * g))[:, None]
-    rows = jnp.take(table, (base + x0 * g + y0).reshape(-1), axis=0)
-    lines = rows.reshape(b, n, 4, g, c)
-
-    # z-interpolation in registers: one-hot over the 32-length line
-    z0f = z0.astype(fz.dtype)
-    ziota = jax.lax.broadcasted_iota(jnp.int32, (b, n, g), 2)
-    z1 = jnp.minimum(z0 + 1, g - 1)
-    sel0 = (ziota == z0[..., None]).astype(fz.dtype)
-    sel1 = (ziota == z1[..., None]).astype(fz.dtype)
-    # weight along z folded into the selection: (1-fz)*line[z0] + fz*line[z1]
-    zsel = sel0 * (1.0 - fz)[..., None] + sel1 * fz[..., None]  # (B, N, g)
-    vals = jnp.einsum("bnkzc,bnz->bnkc", lines.astype(jnp.float32), zsel)
-
-    wx0, wx1 = 1.0 - fx, fx
-    wy0, wy1 = 1.0 - fy, fy
-    out = (
-        vals[:, :, 0] * (wx0 * wy0)[..., None]
-        + vals[:, :, 1] * (wx0 * wy1)[..., None]
-        + vals[:, :, 2] * (wx1 * wy0)[..., None]
-        + vals[:, :, 3] * (wx1 * wy1)[..., None]
     )
     out = out * in_bounds[..., None].astype(out.dtype)
     return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
