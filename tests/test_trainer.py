@@ -238,3 +238,28 @@ class TestFailureDetection:
         )
         with pytest.raises(FloatingPointError):
             t.run()
+
+
+class TestRGBMode:
+    def test_rgb_trainer_end_to_end(self, tmp_path):
+        """config.rgb=True routes to the RGBUpdater twin: no camera
+        conditioning, no rotate loss, 3-channel generator output."""
+        config = tiny_config(
+            tmp_path, rgb=True, iteration=2, keep_smoothed_gen=False,
+            snapshot_interval=100,
+        )
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(t.state.iteration) == 2
+        for row in rows:
+            assert np.isfinite(row["gen/loss_adv"])
+            assert "gen/loss_rotate" not in row
+        # generator output is RGB-only at eval time
+        import jax.numpy as jnp
+        x = t.gen_apply_eval(
+            jnp.asarray(t.make_hidden_np(np.random.RandomState(0), 4)),
+            6, jnp.float32(0.0), None,
+        )
+        assert x.shape[-1] == 3
