@@ -405,18 +405,22 @@ class Trainer:
             self.state, metrics = step(self.state, x, jnp.float32(alpha), step_key)
 
             it = int(self.state.iteration)
-            if bool(jax.device_get(metrics["nan"])):
-                raise FloatingPointError(f"NaN loss at iteration {it} (stage {st:.3f})")
-
             if it % display_interval == 0 or it == total:
+                # one batched host transfer for the whole metrics dict (each
+                # individual device_get costs a full tunnel roundtrip)
+                fetched = jax.device_get(metrics)
+                if bool(fetched["nan"]):
+                    raise FloatingPointError(
+                        f"NaN loss at iteration {it} (stage {st:.3f})"
+                    )
                 row = {
                     "iteration": it,
                     "elapsed_time": time.time() - start_time,
                     "batch_size": float(self.batch_size),
                 }
-                for k, v in metrics.items():
+                for k, v in fetched.items():
                     if k != "nan":
-                        row[k] = float(jax.device_get(v))
+                        row[k] = float(v)
                 self.metrics_log.append(row)
                 last_log = row
                 if log_cb:
@@ -425,6 +429,13 @@ class Trainer:
                     os.makedirs(self.out, exist_ok=True)
                     with open(os.path.join(self.out, "log.jsonl"), "a") as f:
                         f.write(json.dumps(row) + "\n")
+            else:
+                # NaN guard still fires every iteration (reference asserts,
+                # updater.py:336,439) at the cost of a single scalar fetch
+                if bool(jax.device_get(metrics["nan"])):
+                    raise FloatingPointError(
+                        f"NaN loss at iteration {it} (stage {st:.3f})"
+                    )
 
             if is_master() and it % preview_interval == 0:
                 try:
