@@ -307,3 +307,22 @@ class TestConfigFlagMatrix:
             t2.run(log_cb=rows2.append)
             assert "gen/loss_occupancy" in rows2[-1]
             assert np.isfinite(rows2[-1]["gen/loss_occupancy"])
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self, tmp_path):
+        """Full-trainer determinism: fixed seed -> identical metrics."""
+        data = synthetic_dataset(8, 32)
+        rows = []
+        for run in range(2):
+            config = tiny_config(
+                tmp_path, iteration=2, keep_smoothed_gen=False,
+                snapshot_interval=100, out=str(tmp_path / f"out{run}"),
+            )
+            t = Trainer(config, dataset=data, seed=7)
+            r = []
+            t.run(log_cb=r.append)
+            rows.append(r)
+        for a, b in zip(rows[0], rows[1]):
+            for k in ["gen/loss_adv", "dis/loss_adv", "dis/loss_gp"]:
+                assert a[k] == b[k], k
