@@ -386,8 +386,11 @@ class Trainer:
         metrics = {}
         last_log: Dict[str, Any] = {}
         state_replicated = False
-        while int(self.state.iteration) < total:
-            it = int(self.state.iteration)
+        # host-side iteration mirror: reading state.iteration is a device
+        # fetch (a full tunnel roundtrip per loop otherwise)
+        it_host = int(self.state.iteration)
+        while it_host < total:
+            it = it_host
             st = self.stage(it)
             floor, alpha = decompose_stage(st, self.max_stage)
             spec = self._spec_for(it, floor)
@@ -404,7 +407,8 @@ class Trainer:
             self.rng_key, step_key = jax.random.split(self.rng_key)
             self.state, metrics = step(self.state, x, jnp.float32(alpha), step_key)
 
-            it = int(self.state.iteration)
+            it_host += 1
+            it = it_host
             if it % display_interval == 0 or it == total:
                 # one batched host transfer for the whole metrics dict (each
                 # individual device_get costs a full tunnel roundtrip)
