@@ -27,7 +27,7 @@ from ..core.config import load_config
 from ..core.stage import decompose_stage
 from ..eval import fid as fid_mod
 from ..eval.inception import load_params
-from ..eval.preview import render_preview_grid, sample_generate_light
+from ..eval.preview import sample_generate_light
 from ..geometry.camera import camera_matrices, theta_to_9dof
 from ..train.trainer import Trainer
 

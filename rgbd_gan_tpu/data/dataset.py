@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

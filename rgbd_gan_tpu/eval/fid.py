@@ -18,7 +18,6 @@ Ports ``evaluation.py:16-200`` and the stat-caching ``API`` of
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Callable, Optional, Tuple
 
@@ -133,6 +132,19 @@ def inception_score(model, variables, ims: np.ndarray, batch_size: int = 100,
         kl = part * (np.log(part + 1e-12) - np.log(np.mean(part, axis=0, keepdims=True) + 1e-12))
         scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def inception_accuracy(model, variables, ims, labels, batch_size: int = 100) -> float:
+    """Top-1 accuracy of Inception predictions against labels
+    (``inception_score.py:74-107``). ``ims`` may be a list of image sets
+    whose softmax outputs are averaged before the argmax."""
+    if isinstance(ims, (list, tuple)):
+        ys = sum(
+            inception_softmax(model, variables, im, batch_size) for im in ims
+        ) / len(ims)
+    else:
+        ys = inception_softmax(model, variables, ims, batch_size)
+    return float(np.mean(np.argmax(ys[:, 1:1001], axis=1) == np.asarray(labels)))
 
 
 def compute_dataset_stat(model, variables, ims: np.ndarray, stat_path: str,

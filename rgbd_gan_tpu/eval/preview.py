@@ -12,7 +12,7 @@ Twin of ``sample_generate_light`` (``train_rgbd.py:39-92``) and
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

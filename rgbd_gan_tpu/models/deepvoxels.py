@@ -33,7 +33,7 @@ Quirks preserved (flags noted):
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +46,8 @@ from ..nn.layers import (
     EqualizedConv3D,
     EqualizedLinear,
     NoiseBlock,
-    adain,
     l2_normalize_channels,
     leaky_relu,
-    pixel_norm,
     upscale2x,
     upscale2x_3d,
 )

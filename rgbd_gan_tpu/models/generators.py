@@ -25,7 +25,6 @@ Reference semantics preserved (with file:line cites at each site):
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax

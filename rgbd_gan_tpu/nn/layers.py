@@ -23,7 +23,7 @@ All images are NHWC; channel-last is the natural TPU layout (lane dimension
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

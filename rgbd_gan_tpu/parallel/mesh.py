@@ -15,8 +15,7 @@ replaces ``comm.rank == 0`` for master-only I/O.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss
 from .optim import get_lr_scale_factor
 from .state import TrainState
 from .steps import StepSpec, _dis_apply, _pmean

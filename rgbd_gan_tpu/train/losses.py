@@ -10,8 +10,7 @@ compiled step as the discriminator loss.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ per-rank sampling + NCCL all-reduce (``train_rgbd.py:151-161``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ import optax
 from ..geometry.camera import camera_matrices, theta_to_9dof
 from ..geometry.warp import occupancy_net_loss, rotate_consistency_loss
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss, l2_loss
 from .state import TrainState
 
 

@@ -28,7 +28,7 @@ Differences from the RGBD step, all faithful to the reference:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ from ..geometry.camera import camera_matrices, theta_to_9dof
 from ..geometry.warp import rotate_consistency_loss
 from ..models.deepvoxels import PROJECTION_INTRINSIC
 from .ema import soft_copy_params
-from .losses import dis_adv_loss, dis_out_and_r1, gen_adv_loss, l2_loss, r1_penalty
+from .losses import dis_adv_loss, dis_out_and_r1, gen_adv_loss
 from .state import TrainState
 from .steps import StepSpec, _dis_apply, _pmean
 

@@ -21,7 +21,6 @@ The TPU twin of ``train_rgbd.py:261-474``. Responsibilities:
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from typing import Any, Callable, Dict, Optional
