@@ -326,3 +326,22 @@ class TestDeterminism:
         for a, b in zip(rows[0], rows[1]):
             for k in ["gen/loss_adv", "dis/loss_adv", "dis/loss_gp"]:
                 assert a[k] == b[k], k
+
+
+class TestProfilingMode:
+    def test_nvprof_flag_short_run_with_trace(self, tmp_path):
+        """SURVEY §5.1: nvprof/enable_cuda_profiling force a 10-iteration run
+        wrapped in a jax.profiler trace written under [out]/profile."""
+        config = tiny_config(
+            tmp_path, nvprof=True, iteration=1000, keep_smoothed_gen=False,
+            snapshot_interval=10000, start_rotation=100,
+        )
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        t.run()
+        assert int(t.state.iteration) == 10  # forced short run
+        prof_dir = os.path.join(config.out, "profile")
+        assert os.path.isdir(prof_dir)
+        # a trace artifact exists somewhere under the profile dir
+        found = any(files for _, _, files in os.walk(prof_dir))
+        assert found
