@@ -71,7 +71,11 @@ def bilinear_gather_onehot(
     v_c = v.reshape(b, k, chunk).transpose(1, 0, 2)
     img_r = img.reshape(b, h, w * c)
 
+    @jax.checkpoint
     def one(uv):
+        # rematerialised under grad: the one-hot weight matrices are cheap
+        # iota compares, while storing them as lax.map residuals costs
+        # ~16 MB of HBM traffic per chunk iteration (profiler-confirmed)
         uu, vv = uv
         au, av, _ = _weighted_onehots(uu, vv, h, w, exact)  # (B, chunk, h/w)
         lhs, rhs = au, img_r
