@@ -263,14 +263,16 @@ def rotate_consistency_loss(
     new_zp = warp(k, inv_k, r, t, z, p)  # (B, HW, 3)
     new_zp_rot = inv_warp(k, inv_k, inv_r, t, z_rot, p)
 
-    warped, not_out = bilinear_sample(
-        img_rot, new_zp, exact=exact_bilinear, use_pallas=use_pallas,
-        gather_mode=gather_mode,
+    # both directions in one batched gather (identical numerics; halves the
+    # chunked-loop trip count for the fused gather routes)
+    warped_cat, not_out_cat = bilinear_sample(
+        jnp.concatenate([img_rot, img], axis=0),
+        jnp.concatenate([new_zp, new_zp_rot], axis=0),
+        exact=exact_bilinear, use_pallas=use_pallas, gather_mode=gather_mode,
     )
-    warped_rot, not_out_rot = bilinear_sample(
-        img, new_zp_rot, exact=exact_bilinear, use_pallas=use_pallas,
-        gather_mode=gather_mode,
-    )
+    half_flat = b * h * w
+    warped, warped_rot = warped_cat[:half_flat], warped_cat[half_flat:]
+    not_out, not_out_rot = not_out_cat[:half_flat], not_out_cat[half_flat:]
     if return_debug:
         return warped, not_out, new_zp, warped_rot, not_out_rot, new_zp_rot
 
