@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--n_images", type=int, default=5000)
     p.add_argument("--batchsize", type=int, default=100)
+    p.add_argument(
+        "--ema",
+        action="store_true",
+        help="evaluate the smoothed (EMA) generator — the model the reference "
+        "previews when keep_smoothed_gen (train_rgbd.py:391-396)",
+    )
     args = p.parse_args(argv)
 
     config = load_config(args.config_path)
@@ -58,9 +64,13 @@ def main(argv=None):
     stage = trainer.stage()
     floor, alpha = decompose_stage(stage, trainer.max_stage)
 
+    gen_apply = trainer.gen_apply_eval_ema if args.ema else trainer.gen_apply_eval
+    if args.ema and trainer.state.ema_gen is None:
+        raise SystemExit("--ema requires a snapshot trained with keep_smoothed_gen")
+
     if args.preview:
         ext = sample_generate_light(
-            trainer.gen_apply_eval, trainer.make_hidden_np, trainer.out, config
+            gen_apply, trainer.make_hidden_np, trainer.out, config
         )
         path = ext(int(trainer.state.iteration), stage)
         print(f"preview -> {path}")
@@ -76,14 +86,14 @@ def main(argv=None):
                 kz, kt = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), batchsize))
                 thetas6 = trainer.prior.sample(kt, batchsize)
                 mats = camera_matrices(thetas6)
-                x = trainer.gen_apply_eval(
+                x = gen_apply(
                     trainer.make_hidden(kz, batchsize), floor, jnp.float32(alpha),
                     theta_to_9dof(thetas6), mats,
                 )
                 return x[..., :3]
         else:
             gen = fid_mod.rgbd_image_sampler(
-                trainer.gen_apply_eval, trainer.make_hidden, floor, alpha,
+                gen_apply, trainer.make_hidden, floor, alpha,
                 theta9_sampler=None if config.rgb else theta9_sampler,
             )
 

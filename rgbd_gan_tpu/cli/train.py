@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 
 from ..core.config import load_config
+from ..parallel.mesh import maybe_initialize_distributed
 from ..train.trainer import REPORT_KEYS, Trainer
 
 
@@ -19,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--config_path", type=str, default="configs/ffhq_stylegan_occlusion.yml")
     parser.add_argument("--iterations", type=int, default=None, help="override config.iteration")
     args = parser.parse_args(argv)
+
+    # multi-host bring-up must precede ANY backend touch (the Trainer calls
+    # jax.device_count()); no-op on a single host
+    maybe_initialize_distributed()
 
     config = load_config(args.config_path)
     config.gpu = args.gpu

@@ -25,18 +25,42 @@ DATA_AXIS = "data"
 
 
 def maybe_initialize_distributed() -> None:
-    """Multi-host bring-up: call once per process before touching devices.
+    """Multi-host bring-up: call once per process BEFORE touching devices.
 
     The TPU twin of the reference's MPI communicator creation
-    (``train_rgbd.py:103-119``). No-ops on a single host or when already
-    initialised; coordinator discovery uses the standard TPU environment.
+    (``train_rgbd.py:103-119``). Must run before any backend touch —
+    ``jax.device_count()``/``jax.devices()`` lock in the single-process
+    backend, after which initialize() is too late. Only attempts bring-up
+    when a multi-process environment is actually configured (explicit
+    coordinator address or a recognised cluster environment); a plain
+    single-host run stays a no-op so the local/tunnel paths never block
+    waiting for a coordinator that will not appear.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    if jax.distributed.is_initialized():
+        return
+    import os
+
+    multi_host = any(
+        os.environ.get(h)
+        for h in (
+            "JAX_COORDINATOR_ADDRESS",      # explicit jax.distributed coordinator
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice
+        )
+    )
+    # Cloud TPU pod slice: only a hint when it actually lists >1 worker
+    # (single-host environments — including the axon tunnel — set it to one)
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_host = multi_host or len([w for w in workers.split(",") if w.strip()]) > 1
+    if not multi_host:
+        return  # single-host: nothing to bring up
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / no coordinator configured
+    except ValueError as e:
+        # auto-detection found no coordinator after all (e.g. a stale pod
+        # env var on a single host) — proceed single-process
+        if "coordinator_address" not in str(e):
+            raise
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -75,6 +99,14 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard a host batch along its leading axis across the mesh."""
+    """Shard a host batch along its leading axis across the mesh.
+
+    Single-host: a plain sharded ``device_put``. Multi-host: each process
+    holds only its local slice of the global batch, so the global array must
+    be assembled with ``make_array_from_process_local_data`` (``device_put``
+    cannot build a global array from per-host shards).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
     return jax.device_put(batch, sharding)

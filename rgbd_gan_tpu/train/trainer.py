@@ -174,6 +174,7 @@ class Trainer:
 
         self._step_cache: Dict[StepSpec, Callable] = {}
         self._extensions = []
+        self._preview_warned = False
         self.metrics_log: list = []
         self.out = config.out or "out"
 
@@ -211,9 +212,12 @@ class Trainer:
             opt_gen_state = self.opt_gen.init(params_gen)
         opt_dis_state = self.opt_dis.init(params_dis)
 
-        keep_ema = bool(self.config.keep_smoothed_gen) and is_master()
-        # real copies: the state is donated to the jitted step, and donating
-        # aliased params/EMA buffers twice is an XLA error
+        # EMA runs on ALL processes (identical compiled programs under one
+        # shard_map — a per-process difference would deadlock a multi-host
+        # slice); only I/O is master-gated. Real copies: the state is donated
+        # to the jitted step, and donating aliased params/EMA buffers twice
+        # is an XLA error.
+        keep_ema = bool(self.config.keep_smoothed_gen)
         ema = jax.tree_util.tree_map(jnp.copy, params_gen) if keep_ema else None
         return TrainState(
             params_gen=params_gen,
@@ -244,7 +248,7 @@ class Trainer:
             rotate_feature=bool(c.rotate_feature),
             use_occupancy=bool(c.use_occupancy_net_loss),
             sn=bool(c.sn),
-            keep_smoothed_gen=bool(c.keep_smoothed_gen) and is_master(),
+            keep_smoothed_gen=bool(c.keep_smoothed_gen),
             smoothing=c.smoothing if c.smoothing is not None else 0.999,
             lambda_gp=c.lambda_gp if c.lambda_gp is not None else 1.0,
             lambda_depth=c.lambda_depth if c.lambda_depth is not None else 0.0,
@@ -305,7 +309,18 @@ class Trainer:
         it = int(self.state.iteration) if iteration is None else iteration
         return stage_at(it, self.stage_interval, self.max_stage)
 
-    def gen_apply_eval(self, z, stage_floor, alpha, theta9, mats=None):
+    def gen_apply_eval(self, z, stage_floor, alpha, theta9, mats=None, *, use_ema=False):
+        """Eval-mode generator forward from the live train state.
+
+        ``use_ema=True`` renders from the smoothed generator — the model the
+        reference previews/evaluates when ``keep_smoothed_gen``
+        (``train_rgbd.py:391-396``).
+        """
+        params = self.state.params_gen
+        if use_ema:
+            if self.state.ema_gen is None:
+                raise ValueError("use_ema requires keep_smoothed_gen (no EMA params in state)")
+            params = self.state.ema_gen
         if self.arch == "deepvoxels":
             # second style latent: fixed-seed draw tiled like z (train_rgbd.py:70-71)
             rng = np.random.RandomState(1)
@@ -313,15 +328,19 @@ class Trainer:
             rows = z.shape[0] // cols
             z2 = self.make_hidden_np(rng, cols)
             z2 = np.tile(z2[:, None], (1, rows, 1)).reshape(z.shape[0], -1)
-            variables = {"params": self.state.params_gen}
+            variables = {"params": params}
             if self.state.gen_state is not None:
                 variables["batch_stats"] = self.state.gen_state
             return self.gen.apply(
                 variables, z, mats, jnp.asarray(z2), theta9, train=False
             )
         return self.gen.apply(
-            {"params": self.state.params_gen}, z, stage_floor, alpha, theta9, train=False
+            {"params": params}, z, stage_floor, alpha, theta9, train=False
         )
+
+    def gen_apply_eval_ema(self, z, stage_floor, alpha, theta9, mats=None):
+        """Smoothed-generator eval forward (see ``gen_apply_eval``)."""
+        return self.gen_apply_eval(z, stage_floor, alpha, theta9, mats, use_ema=True)
 
     def make_hidden_np(self, rng: np.random.RandomState, n: int):
         """Host-side latent sampler for fixed-seed previews."""
@@ -380,6 +399,14 @@ class Trainer:
         preview = sample_generate_light(
             self.gen_apply_eval, self.make_hidden_np, self.out, c
         )
+        # the reference also previews the smoothed generator into its own
+        # subdir when keep_smoothed_gen (train_rgbd.py:391-396)
+        preview_smoothed = None
+        if bool(c.keep_smoothed_gen):
+            preview_smoothed = sample_generate_light(
+                self.gen_apply_eval_ema, self.make_hidden_np, self.out, c,
+                subdir="preview_smoothed",
+            )
 
         start_time = time.time()
         metrics = {}
@@ -443,8 +470,20 @@ class Trainer:
             if is_master() and it % preview_interval == 0:
                 try:
                     preview(it, self.stage(it))
+                    if preview_smoothed is not None:
+                        preview_smoothed(it, self.stage(it))
                 except Exception:
-                    pass  # preview is best-effort (e.g. no PIL)
+                    # best-effort, but never silently: a broken preview path
+                    # should not go unnoticed for an entire run
+                    if not self._preview_warned:
+                        self._preview_warned = True
+                        import traceback
+                        import warnings
+
+                        warnings.warn(
+                            "preview rendering failed (training continues; "
+                            "further failures suppressed):\n" + traceback.format_exc()
+                        )
 
             if it % snapshot_interval == 0:
                 self.save(str(it))

@@ -169,6 +169,61 @@ class TestPreview:
         img = np.asarray(Image.open(os.path.join(config.out, "preview", "image_latest.png")))
         # 8x8 grid, RGBD -> 16 rows of 64px (eval-mode min size), 8 cols
         assert img.shape == (16 * 64, 8 * 64, 3)
+        # keep_smoothed_gen: the smoothed generator gets its own preview
+        # subdir, like the reference (train_rgbd.py:391-396)
+        assert os.path.exists(
+            os.path.join(config.out, "preview_smoothed", "image_latest.png")
+        )
+
+    def test_preview_consumes_ema_params(self, tmp_path):
+        """The smoothed preview must render from state.ema_gen, not
+        state.params_gen (train_rgbd.py:391-393)."""
+        config = tiny_config(tmp_path, iteration=1, evaluation_sample_interval=1000)
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        t.run()
+        # after a step params and EMA have diverged
+        z = np.asarray(t.make_hidden_np(np.random.RandomState(0), 4))
+        import jax.numpy as jnp
+
+        theta9 = jnp.zeros((4, 9))
+        x_live = t.gen_apply_eval(jnp.asarray(z), 6, jnp.float32(0.0), theta9)
+        x_ema = t.gen_apply_eval_ema(jnp.asarray(z), 6, jnp.float32(0.0), theta9)
+        assert not np.allclose(np.asarray(x_live), np.asarray(x_ema))
+        # and the EMA render matches a direct apply with the EMA params
+        x_direct = t.gen.apply(
+            {"params": t.state.ema_gen}, jnp.asarray(z), 6, jnp.float32(0.0),
+            theta9, train=False,
+        )
+        np.testing.assert_allclose(np.asarray(x_ema), np.asarray(x_direct))
+
+    def test_ema_requires_keep_smoothed(self, tmp_path):
+        config = tiny_config(tmp_path, iteration=1, keep_smoothed_gen=False)
+        t = Trainer(config, dataset=synthetic_dataset(8, 32), seed=0)
+        import jax.numpy as jnp
+
+        with pytest.raises(ValueError, match="keep_smoothed_gen"):
+            t.gen_apply_eval_ema(
+                jnp.zeros((2, 16)), 6, jnp.float32(0.0), jnp.zeros((2, 9))
+            )
+
+    def test_preview_failure_warns_once_and_training_continues(self, tmp_path):
+        """A broken preview path must emit a warning (not vanish) while
+        training keeps going."""
+        config = tiny_config(
+            tmp_path, iteration=2, evaluation_sample_interval=1,
+            keep_smoothed_gen=False, snapshot_interval=100,
+        )
+        data = synthetic_dataset(8, 32)
+        t = Trainer(config, dataset=data, seed=0)
+
+        def boom(*a, **k):
+            raise RuntimeError("synthetic preview failure")
+
+        t.gen_apply_eval = boom
+        with pytest.warns(UserWarning, match="preview rendering failed"):
+            t.run()
+        assert int(t.state.iteration) == 2
 
 
 class TestProductionModes:
