@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 FEATURE_DIM = 2048
@@ -211,20 +212,145 @@ def load_params(path: Optional[str], key: Optional[jax.Array] = None):
         warnings.warn(
             "No Inception weights supplied — using random init. FID/IS values "
             "will be internally consistent but not comparable to the literature. "
-            "Convert the TF inception-2015-12-05 checkpoint with "
-            "rgbd_gan_tpu.eval.inception.convert_tf_checkpoint where network "
-            "access exists."
+            "Download inception-2015-12-05.tgz (no TF needed) and convert its "
+            "classify_image_graph_def.pb with "
+            "rgbd_gan_tpu.eval.inception.convert_tf_checkpoint."
         )
         return model, variables
     return model, load_tree(path, variables)
 
 
-def convert_tf_checkpoint(pb_path: str, out_npz: str) -> None:  # pragma: no cover
-    """Convert the TF ``inception-2015-12-05`` GraphDef constants to our
-    parameter tree (the TPU twin of ``source/inception/download.py:35-246``).
-    Requires tensorflow; run offline where the checkpoint exists."""
-    raise NotImplementedError(
-        "TF checkpoint conversion requires tensorflow, which is not in this "
-        "image; map GraphDef Const tensors conv/batchnorm-wise onto the flat "
-        "key scheme of rgbd_gan_tpu.train.checkpoint.save_tree."
-    )
+# ---------------------------------------------------------------------------
+# TF-checkpoint conversion (no tensorflow needed — see eval/tf_graphdef.py)
+# ---------------------------------------------------------------------------
+
+# TF scope (inside a mixed block) -> our branch module name, per block shape.
+# Derived from the reference converter's tower walk
+# (source/inception/download.py:70-180).
+_MAP_A = [  # mixed / mixed_1 / mixed_2 (35x35)
+    ("conv", "b1x1"),
+    ("tower/conv", "b5x5_1"), ("tower/conv_1", "b5x5_2"),
+    ("tower_1/conv", "b3x3dbl_1"), ("tower_1/conv_1", "b3x3dbl_2"),
+    ("tower_1/conv_2", "b3x3dbl_3"),
+    ("tower_2/conv", "bpool"),
+]
+_MAP_B = [  # mixed_3 (35->17 reduction)
+    ("conv", "b3x3"),
+    ("tower/conv", "b3x3dbl_1"), ("tower/conv_1", "b3x3dbl_2"),
+    ("tower/conv_2", "b3x3dbl_3"),
+]
+_MAP_C = [  # mixed_4..mixed_7 (17x17)
+    ("conv", "b1x1"),
+    ("tower/conv", "b7x7_1"), ("tower/conv_1", "b7x7_2"), ("tower/conv_2", "b7x7_3"),
+    ("tower_1/conv", "b7x7dbl_1"), ("tower_1/conv_1", "b7x7dbl_2"),
+    ("tower_1/conv_2", "b7x7dbl_3"), ("tower_1/conv_3", "b7x7dbl_4"),
+    ("tower_1/conv_4", "b7x7dbl_5"),
+    ("tower_2/conv", "bpool"),
+]
+_MAP_D = [  # mixed_8 (17->8 reduction)
+    ("tower/conv", "b3x3_1"), ("tower/conv_1", "b3x3_2"),
+    ("tower_1/conv", "b7x7x3_1"), ("tower_1/conv_1", "b7x7x3_2"),
+    ("tower_1/conv_2", "b7x7x3_3"), ("tower_1/conv_3", "b7x7x3_4"),
+]
+_MAP_E = [  # mixed_9 / mixed_10 (8x8)
+    ("conv", "b1x1"),
+    ("tower/conv", "b3x3_1"),
+    ("tower/mixed/conv", "b3x3_2a"), ("tower/mixed/conv_1", "b3x3_2b"),
+    ("tower_1/conv", "b3x3dbl_1"), ("tower_1/conv_1", "b3x3dbl_2"),
+    ("tower_1/mixed/conv", "b3x3dbl_3a"), ("tower_1/mixed/conv_1", "b3x3dbl_3b"),
+    ("tower_2/conv", "bpool"),
+]
+_BLOCK_MAPS = {
+    "mixed": _MAP_A, "mixed_1": _MAP_A, "mixed_2": _MAP_A,
+    "mixed_3": _MAP_B,
+    "mixed_4": _MAP_C, "mixed_5": _MAP_C, "mixed_6": _MAP_C, "mixed_7": _MAP_C,
+    "mixed_8": _MAP_D,
+    "mixed_9": _MAP_E, "mixed_10": _MAP_E,
+}
+_STEM = ["conv", "conv_1", "conv_2", "conv_3", "conv_4"]
+BN_EPS = 1e-3  # hardcoded in ConvBN; the graph's variance_epsilon must agree
+
+
+def iter_conv_mappings():
+    """Yield every (tf_conv_scope, flax_module_path) conv+BN pair.
+
+    ``tf_conv_scope`` owns consts ``{scope}/conv2d_params`` and
+    ``{scope}/batchnorm/{gamma,beta,moving_mean,moving_variance}``;
+    ``flax_module_path`` is the ``/``-joined ConvBN module path in
+    :class:`InceptionV3` (e.g. ``mixed_4/b7x7_1``).
+    """
+    for name in _STEM:
+        yield name, name
+    for block, pairs in _BLOCK_MAPS.items():
+        for tf_scope, branch in pairs:
+            yield f"{block}/{tf_scope}", f"{block}/{branch}"
+
+
+def convert_tf_checkpoint(pb_path: str, out_npz: str) -> dict:
+    """Convert the TF ``inception-2015-12-05`` GraphDef to our flat-key npz.
+
+    TF-free twin of the reference converter
+    (``source/inception/download.py:35-246``): reads Const tensors straight
+    out of the protobuf wire format. Layouts transfer directly — TF conv
+    kernels are HWIO like flax's ``nn.Conv`` (the reference transposes to
+    OIHW only because Chainer needs it), and the 2048x1008 logit MatMul
+    weight matches ``nn.Dense``'s (in, out).
+
+    Returns the flat dict it wrote (handy for tests).
+    """
+    import warnings as _warnings
+
+    from ..train.checkpoint import _flatten
+    from .tf_graphdef import GraphDef
+
+    with open(pb_path, "rb") as f:
+        graph = GraphDef(f.read())
+
+    flat = {}
+    for tf_scope, module_path in iter_conv_mappings():
+        flat[f"params/{module_path}/conv/kernel"] = graph.const_tensor(
+            f"{tf_scope}/conv2d_params"
+        )
+        bn = f"{tf_scope}/batchnorm"
+        flat[f"params/{module_path}/bn/scale"] = graph.const_tensor(f"{bn}/gamma")
+        flat[f"params/{module_path}/bn/bias"] = graph.const_tensor(f"{bn}/beta")
+        flat[f"batch_stats/{module_path}/bn/mean"] = graph.const_tensor(
+            f"{bn}/moving_mean"
+        )
+        flat[f"batch_stats/{module_path}/bn/var"] = graph.const_tensor(
+            f"{bn}/moving_variance"
+        )
+        try:
+            eps = graph.float_attr(bn, "variance_epsilon")
+            if abs(eps - BN_EPS) > 1e-9:
+                _warnings.warn(
+                    f"{bn}: variance_epsilon={eps} differs from the model's "
+                    f"hardcoded {BN_EPS}; converted scores will drift"
+                )
+        except KeyError:
+            pass  # synthetic graphs may omit the batchnorm op node
+
+    # logit head: the MatMul's weight operand + the bias const
+    # (download.py:172-180)
+    w_name = graph.node_input("softmax/logits/MatMul", 1)
+    w = np.asarray(graph.const_tensor(w_name))
+    flat["params/logit/kernel"] = w.reshape(FEATURE_DIM, NUM_LOGITS)
+    flat["params/logit/bias"] = np.asarray(
+        graph.const_tensor("softmax/biases")
+    ).reshape(NUM_LOGITS)
+
+    # validate completeness + shapes against a freshly-initialised template
+    _, template = init_inception(jax.random.PRNGKey(0))
+    tmpl_flat = _flatten(template)
+    missing = sorted(set(tmpl_flat) - set(flat))
+    if missing:
+        raise ValueError(f"conversion incomplete; missing keys: {missing[:10]}...")
+    for k, v in flat.items():
+        if k in tmpl_flat and tuple(np.shape(v)) != tuple(tmpl_flat[k].shape):
+            raise ValueError(
+                f"shape mismatch for {k}: graph {np.shape(v)} vs model "
+                f"{tmpl_flat[k].shape}"
+            )
+
+    np.savez(out_npz, **flat)
+    return flat

@@ -1,0 +1,151 @@
+"""TF-free Inception weight converter: wire-format + name-mapping tests.
+
+The reference converter needs TF (``source/inception/download.py:35-246``);
+ours parses the GraphDef protobuf directly. TF is absent in this image, so
+the mapping logic is verified against a synthetic GraphDef serialised with
+the same wire-format writer the parser reads (VERDICT round-1 item 4).
+"""
+
+import numpy as np
+import pytest
+
+from rgbd_gan_tpu.eval import inception
+from rgbd_gan_tpu.eval import tf_graphdef as gd
+from rgbd_gan_tpu.train.checkpoint import _flatten
+
+
+def test_wire_roundtrip_tensor_content():
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    blob = gd.encode_const_node("x", arr)
+    g = gd.GraphDef(blob)
+    np.testing.assert_array_equal(g.const_tensor("x"), arr)
+
+
+def test_wire_float_val_broadcast():
+    # TensorProto with a single float_val element broadcasts over the shape
+    shape = gd._len_field(2, gd._varint_field(1, 3))
+    tensor = gd._varint_field(1, gd.DT_FLOAT) + gd._len_field(2, shape)
+    tensor += gd._f32_field(5, 2.5)  # unpacked float_val
+    attr_value = gd._len_field(8, tensor)
+    attr_entry = gd._len_field(1, b"value") + gd._len_field(2, attr_value)
+    node = gd._len_field(1, b"c") + gd._len_field(2, b"Const") + gd._len_field(5, attr_entry)
+    g = gd.GraphDef(gd._len_field(1, node))
+    np.testing.assert_array_equal(g.const_tensor("c"), np.full((3,), 2.5, np.float32))
+
+
+def test_node_inputs_and_float_attr():
+    blob = gd.encode_const_node("w", np.zeros((2, 2), np.float32))
+    blob += gd.encode_node("mm", "MatMul", inputs=["a:0", "w:0"])
+    blob += gd.encode_node("bn", "BatchNormWithGlobalNormalization",
+                           float_attrs={"variance_epsilon": 1e-3})
+    g = gd.GraphDef(blob)
+    assert g.node_input("mm", 1) == "w"
+    assert g.float_attr("bn", "variance_epsilon") == pytest.approx(1e-3)
+
+
+@pytest.fixture(scope="module")
+def template_flat():
+    import jax
+
+    _, variables = inception.init_inception(jax.random.PRNGKey(0))
+    return _flatten(variables)
+
+
+def synthesize_graphdef(template_flat, rng, eps=inception.BN_EPS):
+    """A GraphDef carrying random consts under every TF name the converter
+    reads, shaped per the flax template."""
+    blob = b""
+    for tf_scope, path in inception.iter_conv_mappings():
+        k = template_flat[f"params/{path}/conv/kernel"]
+        blob += gd.encode_const_node(
+            f"{tf_scope}/conv2d_params", rng.normal(size=k.shape).astype(np.float32)
+        )
+        bn = f"{tf_scope}/batchnorm"
+        c = k.shape[-1]
+        for tf_name in ["gamma", "beta", "moving_mean", "moving_variance"]:
+            blob += gd.encode_const_node(
+                f"{bn}/{tf_name}", rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32)
+            )
+        blob += gd.encode_node(
+            bn, "BatchNormWithGlobalNormalization",
+            inputs=[f"{tf_scope}/Conv2D", f"{bn}/moving_mean", f"{bn}/moving_variance",
+                    f"{bn}/beta", f"{bn}/gamma"],
+            float_attrs={"variance_epsilon": eps},
+        )
+    w = rng.normal(size=(inception.FEATURE_DIM, inception.NUM_LOGITS)).astype(np.float32)
+    b = rng.normal(size=(inception.NUM_LOGITS,)).astype(np.float32)
+    blob += gd.encode_const_node("softmax/weights", w)
+    blob += gd.encode_const_node("softmax/biases", b)
+    blob += gd.encode_node("softmax/logits/MatMul", "MatMul",
+                           inputs=["pool_3/reshape:0", "softmax/weights:0"])
+    return blob, w, b
+
+
+class TestConverter:
+    def test_full_conversion_roundtrip(self, template_flat, tmp_path):
+        rng = np.random.RandomState(0)
+        blob, w, b = synthesize_graphdef(template_flat, rng)
+        pb = tmp_path / "classify_image_graph_def.pb"
+        pb.write_bytes(blob)
+        out = tmp_path / "inception.npz"
+        flat = inception.convert_tf_checkpoint(str(pb), str(out))
+
+        # every template key present with the template's shape
+        assert set(template_flat) <= set(flat)
+        for k in template_flat:
+            assert tuple(flat[k].shape) == tuple(template_flat[k].shape), k
+
+        np.testing.assert_array_equal(flat["params/logit/kernel"], w)
+        np.testing.assert_array_equal(flat["params/logit/bias"], b)
+
+        # and the npz loads into the live model (values actually land)
+        model, variables = inception.load_params(str(out))
+        got = _flatten(variables)
+        np.testing.assert_array_equal(
+            got["params/mixed_4/b7x7dbl_3/conv/kernel"],
+            flat["params/mixed_4/b7x7dbl_3/conv/kernel"],
+        )
+        np.testing.assert_array_equal(
+            got["batch_stats/mixed_10/bpool/bn/var"],
+            flat["batch_stats/mixed_10/bpool/bn/var"],
+        )
+
+    def test_eps_mismatch_warns(self, template_flat, tmp_path):
+        rng = np.random.RandomState(1)
+        blob, _, _ = synthesize_graphdef(template_flat, rng, eps=1e-5)
+        pb = tmp_path / "g.pb"
+        pb.write_bytes(blob)
+        with pytest.warns(UserWarning, match="variance_epsilon"):
+            inception.convert_tf_checkpoint(str(pb), str(tmp_path / "o.npz"))
+
+    def test_missing_const_raises(self, template_flat, tmp_path):
+        # drop the logit weight: conversion must fail loudly, not silently
+        rng = np.random.RandomState(2)
+        blob, _, _ = synthesize_graphdef(template_flat, rng)
+        # rebuild without softmax nodes
+        blob2 = b""
+        for tf_scope, path in inception.iter_conv_mappings():
+            k = template_flat[f"params/{path}/conv/kernel"]
+            blob2 += gd.encode_const_node(
+                f"{tf_scope}/conv2d_params", np.zeros(k.shape, np.float32)
+            )
+            for tf_name in ["gamma", "beta", "moving_mean", "moving_variance"]:
+                blob2 += gd.encode_const_node(
+                    f"{tf_scope}/batchnorm/{tf_name}",
+                    np.zeros((k.shape[-1],), np.float32),
+                )
+        pb = tmp_path / "g.pb"
+        pb.write_bytes(blob2)
+        with pytest.raises(KeyError):
+            inception.convert_tf_checkpoint(str(pb), str(tmp_path / "o.npz"))
+
+    def test_mapping_covers_all_model_convs(self, template_flat):
+        """Every ConvBN in the model must be reachable from the mapping (a
+        missing row would leave random weights in a 'converted' model)."""
+        mapped = {path for _, path in inception.iter_conv_mappings()}
+        model_convs = {
+            k[len("params/"):-len("/conv/kernel")]
+            for k in template_flat
+            if k.startswith("params/") and k.endswith("/conv/kernel")
+        }
+        assert mapped == model_convs
