@@ -52,7 +52,7 @@ def _weighted_onehots(u, v, h, w, exact: bool):
 
 def bilinear_gather_onehot(
     img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, exact: bool = True,
-    chunk: int = CHUNK, operand_dtype=None,
+    chunk: int = None, operand_dtype=None,
 ) -> jnp.ndarray:
     """(B, H, W, C), (B, N), (B, N) -> (B, N, C); u rows, v columns.
 
@@ -60,6 +60,8 @@ def bilinear_gather_onehot(
     accumulation (2x rate; weights/values are in [0, 1]/[-1, 1] so bf16's
     8-bit mantissa costs ~3 decimal digits on the loss — opt-in).
     """
+    if chunk is None:
+        chunk = CHUNK
     b, h, w, c = img.shape
     n = u.shape[1]
     pad = (-n) % chunk
