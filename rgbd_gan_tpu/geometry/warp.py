@@ -123,8 +123,10 @@ def bilinear_sample(
     :param use_pallas: back-compat alias for ``gather_mode='pallas'``
     :param gather_mode: 'xla' (native gather; backward is a scatter-add),
         'onehot' (:mod:`..ops.bilinear_onehot` — scatter-free MXU einsum,
-        matmul backward), or 'pallas' (:mod:`..ops.bilinear_pallas` — fused
-        kernel with custom VJP). All three are numerically identical.
+        matmul backward), 'hybrid' (:mod:`..ops.bilinear_gradgather` —
+        gather forward + one-pass one-hot custom-VJP backward; the fastest
+        route on TPU), or 'pallas' (:mod:`..ops.bilinear_pallas` — fused
+        kernel with custom VJP). All routes are numerically identical.
     :returns: ``warped`` (B*HW, C) sampled values (zero where out of bounds)
               and ``mask`` (B*HW,) float32 in-bounds indicator (stop-grad).
     """
@@ -205,6 +207,10 @@ def _bilinear_sample_fused(img, zp, exact, gather_mode):
         from ..ops.bilinear_pallas import bilinear_gather_pallas
 
         warped = bilinear_gather_pallas(img, u_rows, v_cols, exact)  # (B, HW, C)
+    elif gather_mode == "hybrid":
+        from ..ops.bilinear_gradgather import bilinear_gather_grad
+
+        warped = bilinear_gather_grad(img, u_rows, v_cols, exact)
     else:
         from ..ops.bilinear_onehot import bilinear_gather_onehot
 

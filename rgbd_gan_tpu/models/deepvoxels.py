@@ -100,8 +100,23 @@ def frustum_camera_coords(exact_lifting: bool = True) -> np.ndarray:
     return np.stack([xc, yc, zc, np.ones_like(zc)]).astype("float32")
 
 
+def frustum_voxel_coords(cam2world: jnp.ndarray, coords_const: jnp.ndarray):
+    """Voxel-space frustum coordinates + validity mask per camera.
+
+    Dense twin of the reference's index-list build (``projection.py:81-99``):
+    lift the frustum lattice to world space and rescale into grid units.
+    Returns ``vox`` (B, 3, N) and ``in_bounds`` (B, N).
+    """
+    g = GRID_DIM
+    grid_coords = jnp.einsum("bij,jn->bin", cam2world, coords_const)  # (B, 4, N)
+    vox = grid_coords[:, :3] / VOXEL_SIZE + g / 2  # (B, 3, N)
+    in_bounds = jnp.all(vox >= 0, axis=1) & jnp.all(vox < g, axis=1)  # (B, N)
+    return vox, in_bounds
+
+
 def lift_frustum(
-    voxel: jnp.ndarray, cam2world: jnp.ndarray, coords_const: jnp.ndarray
+    voxel: jnp.ndarray, cam2world: jnp.ndarray, coords_const: jnp.ndarray,
+    lift_mode: str = "gather",
 ) -> jnp.ndarray:
     """Resample the voxel grid into each camera's view frustum (dense).
 
@@ -109,16 +124,22 @@ def lift_frustum(
         the reference's conv output dims
     :param cam2world: (B, 4, 4)
     :param coords_const: (4, N) from :func:`frustum_camera_coords`
+    :param lift_mode: 'gather' (pure-XLA flat gather) or 'pallas'
+        (:mod:`..ops.trilinear_pallas` — VMEM-resident one-hot MXU kernel
+        with a scatter-free custom VJP; ~8x faster fwd+bwd on a v5e)
     :returns: (B, FRUSTUM_DEPTH, H, W, C) canonical view volumes
     """
     b = voxel.shape[0]
     c = voxel.shape[-1]
     g = GRID_DIM
 
-    grid_coords = jnp.einsum("bij,jn->bin", cam2world, coords_const)  # (B, 4, N)
-    vox = grid_coords[:, :3] / VOXEL_SIZE + g / 2  # (B, 3, N)
+    vox, in_bounds = frustum_voxel_coords(cam2world, coords_const)
 
-    in_bounds = jnp.all(vox >= 0, axis=1) & jnp.all(vox < g, axis=1)  # (B, N)
+    if lift_mode == "pallas":
+        from ..ops.trilinear_pallas import trilinear_lift
+
+        out = trilinear_lift(voxel, vox, in_bounds)
+        return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
 
     # axis roles follow interpolate_trilinear (deepvoxel.py:394-396):
     # grid spatial dim0 <- vox row 2, dim1 <- row 1, dim2 <- row 0
@@ -640,6 +661,7 @@ class DeepVoxelsGenerator(nn.Module):
     background_generator: bool = False
     accumulative_threshold: float = 4.0
     exact_lifting: bool = True
+    lift_mode: str = "gather"  # 'pallas': VMEM trilinear kernel (TPU only)
     compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -679,7 +701,9 @@ class DeepVoxelsGenerator(nn.Module):
         if self.compute_dtype is not None:
             w = w.astype(self.compute_dtype)
         voxel = self.voxel_gen(w).astype(jnp.float32)  # (B, 32, 32, 32, feats)
-        frustum = lift_frustum(voxel, camera_matrices, self.frustum_coords)
+        frustum = lift_frustum(
+            voxel, camera_matrices, self.frustum_coords, lift_mode=self.lift_mode
+        )
 
         if self.occlusion_type == "rendernet":
             novel_feats = self.occlusion_net(frustum, train=train)
@@ -735,6 +759,15 @@ class DeepVoxelsDiscriminator(nn.Module):
         return DiscriminatorBlockBase(self.ch, 1, name="block0")(h)
 
 
+def _resolve_lift_mode(requested) -> str:
+    """'pallas' needs a real TPU (Mosaic); CPU runs fall back to the gather."""
+    if requested == "pallas":
+        from ..ops.bilinear_pallas import pallas_available
+
+        return "pallas" if pallas_available() else "gather"
+    return requested if requested else "gather"
+
+
 def build_deepvoxels_generator(config):
     """Driver factory (``train_rgbd.py:233-243`` occlusion-type mapping)."""
     if config.rendernet_projection:
@@ -750,6 +783,7 @@ def build_deepvoxels_generator(config):
         accumulative_threshold=(
             config.accumulative_threshold if config.accumulative_threshold else 4.0
         ),
+        lift_mode=_resolve_lift_mode(config.lift_mode),
         compute_dtype=jnp.bfloat16 if config.mixed16 else None,
     )
     make_hidden = lambda key, n: deepvoxels_make_hidden(key, n, config.ch)

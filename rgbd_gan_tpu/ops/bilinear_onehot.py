@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 CHUNK = 512
+UNROLL = 1  # chunk-loop unroll factor (1 = plain lax.map)
 
 
 def _weighted_onehots(u, v, h, w, exact: bool):
@@ -92,6 +93,12 @@ def bilinear_gather_onehot(
             preferred_element_type=jnp.float32,
         )
 
-    out = jax.lax.map(one, (u_c, v_c))  # (k, B, chunk, C)
+    if UNROLL > 1:
+        # unrolled scan: fewer loop iterations -> less carry/copy overhead
+        _, out = jax.lax.scan(
+            lambda carry, uv: (carry, one(uv)), None, (u_c, v_c), unroll=min(UNROLL, k)
+        )
+    else:
+        out = jax.lax.map(one, (u_c, v_c))  # (k, B, chunk, C)
     out = out.transpose(1, 0, 2, 3).reshape(b, k * chunk, c)
     return out[:, :n]

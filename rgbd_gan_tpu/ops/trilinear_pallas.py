@@ -1,27 +1,32 @@
 """Pallas TPU kernel: VMEM-resident trilinear frustum lift (DeepVoxels).
 
-The DeepVoxels hot op resamples a 32^3xC voxel grid at ~230k frustum cells
-per camera (``models/deepvoxels.lift_frustum``). The XLA gather fetches a
-full (8, 128) tile per 128-byte corner row — measured ~245 ms forward on a
-v5e — and its backward is a scatter-add. The whole grid is only 4 MB, so the
-TPU-native formulation keeps it *resident in VMEM* and expresses the
-trilinear sample as a separable weighted one-hot contraction:
+The DeepVoxels hot op resamples a 32^3 x C voxel grid at ~230k frustum cells
+per camera (``models/deepvoxels.lift_frustum``). The XLA 8-corner gather
+fetches a full (8, 128) tile per corner row — measured ~245 ms forward on a
+v5e — and its autodiff backward is a serialised scatter-add (~310 ms more).
+The whole grid is only 4 MB, so the TPU-native formulation keeps it
+*resident in VMEM* and expresses the trilinear sample as a weighted one-hot
+MXU contraction:
 
-    out[i, c] = sum_d0 A0[i, d0] * sum_d1 A1[i, d1] * sum_d2 A2[i, d2]
-                * V[d0, d1, d2, c]
+    out[i, c] = sum_{d0,d1} A01[i, d0*G+d1] * sum_{d2} A2[i, d2] * V[d0,d1,d2,c]
 
-Per tile of points: one (TILE, G) @ (G, G*G*C) matmul on the MXU collapses
-``d0``, then two cheap VPU weighted reductions collapse ``d1``/``d2`` —
-~134M MACs per 128-point tile, ~5 TFLOP total at the production shapes
-(~25 ms at bf16 peak vs 245 ms for the gather). The grid block's index map
-is constant across the inner tile axis, so Pallas keeps it in VMEM without
-re-DMA.
+Per tile of TILE_N points: the (d0, d1) one-hot outer product ``A01``
+(TILE_N, G^2) is built in-register from iota compares (<= 4 nonzeros per
+row), one (TILE_N, G^2) @ (G^2, G*C) matmul on the MXU collapses (d0, d1),
+and a cheap VPU weighted reduction collapses d2. The backward for the grid
+is the transposed contraction ``dV += A01^T @ (A2 (x) gbar)`` accumulated in
+a VMEM-resident output block across point tiles (coordinates are
+non-differentiable, as in the reference, whose projection indices are
+computed outside the autograd graph — ``deepvoxel/projection.py:48-105``).
 
-Status: numerically validated against ``lift_frustum`` in interpret mode
-(tests); Mosaic compilation is blocked through this environment's axon
-tunnel (see CLAUDE.md), so on-device benchmarking is queued for a runtime
-with direct TPU access (ROADMAP item 2). Forward-only: wire with
-``jax.custom_vjp`` using the transposed contraction for ``dV`` when adopted.
+FLOP cost is G^2 MACs per (point, grid-channel-column) — ~4.8 TFLOP at the
+production shapes — so ``dtype=jnp.bfloat16`` (operands bf16, f32
+accumulation) is the intended production mode (~2x MXU rate; the grid
+features tolerate bf16).
+
+Reference hot op: ``deepvoxel/deepvoxel.py:388-428`` (interpolate_trilinear
++ scatter_add). Parity: ``tests/test_trilinear_pallas.py`` (vs the dense
+gather lift, fwd + grad).
 """
 
 from __future__ import annotations
@@ -33,82 +38,180 @@ import jax.numpy as jnp
 
 try:
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_IMPORTED = True
 except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
-TILE_ROWS = 1  # point tiles of (TILE_ROWS, 128); T buffer = TILE*G*G*C floats
+TILE_ROWS = 8  # Mosaic: block dim -2 must be a multiple of 8
 TILE_N = TILE_ROWS * 128
 
 
-def _axis_weights(idx_f, frac, g, dtype):
-    """(N, g) row with (1-frac) at clip(trunc(idx),0,g-1) and frac at +1."""
+def _axis_terms(idx_f, g):
+    """Per-axis corner indices and fractions with ``lift_frustum`` clamping."""
     i0 = jnp.clip(idx_f.astype(jnp.int32), 0, g - 1)
     i1 = jnp.minimum(i0 + 1, g - 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, idx_f.shape + (g,), idx_f.ndim)
-    a = jnp.where(iota == i0[..., None], (1.0 - frac)[..., None], 0.0)
-    return a + jnp.where(iota == i1[..., None], frac[..., None], 0.0)
+    frac = idx_f - i0.astype(idx_f.dtype)
+    return i0, i1, frac
 
 
-def _lift_kernel(x_ref, y_ref, z_ref, m_ref, grid_ref, out_ref, *, g, c):
-    # point tile: voxel-space coords along the three grid axes + validity
+def _a01_rows(xi, yi, mask, g, dtype):
+    """(TILE_N, g*g) weighted one-hot rows over the fused (d0, d1) axis.
+
+    Built from iota compares (no minor-dim reshape, Mosaic-friendly); the
+    validity mask is folded into the d0 weights.
+    """
+    x0, x1, fx = _axis_terms(xi, g)
+    y0, y1, fy = _axis_terms(yi, g)
+    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, g * g), 1)
+    d0 = j // g
+    d1 = j - d0 * g
+    w0 = jnp.where(d0 == x0[:, None], ((1.0 - fx) * mask)[:, None], 0.0)
+    w0 = w0 + jnp.where(d0 == x1[:, None], (fx * mask)[:, None], 0.0)
+    w1 = jnp.where(d1 == y0[:, None], (1.0 - fy)[:, None], 0.0)
+    w1 = w1 + jnp.where(d1 == y1[:, None], fy[:, None], 0.0)
+    return (w0 * w1).astype(dtype)
+
+
+def _a2_expanded(zi, g, c, dtype):
+    """(TILE_N, g*c) d2 weights expanded per channel (a2[i, d2*c + cc])."""
+    z0, z1, fz = _axis_terms(zi, g)
+    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, g * c), 1)
+    d2 = j // c
+    w2 = jnp.where(d2 == z0[:, None], (1.0 - fz)[:, None], 0.0)
+    w2 = w2 + jnp.where(d2 == z1[:, None], fz[:, None], 0.0)
+    return w2.astype(dtype)
+
+
+def _channel_selector(g, c, dtype):
+    """(g*c, c) constant 0/1 matrix: S[d2*c + cc, cc] = 1 — summing the
+    a2-weighted (d2, c) columns per channel as a matmul (Mosaic rejects the
+    (N, g*c) -> (N, g, c) minor-dim shape cast, so no reshape-and-reduce)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g * c, c), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g * c, c), 1)
+    return (rows % c == cols).astype(dtype)
+
+
+def _lift_fwd_kernel(x_ref, y_ref, z_ref, m_ref, grid_ref, out_ref, *, g, c, dtype):
     xi = x_ref[0].reshape(TILE_N)
     yi = y_ref[0].reshape(TILE_N)
     zi = z_ref[0].reshape(TILE_N)
     mask = m_ref[0].reshape(TILE_N)
 
-    def frac_of(v):
-        i0 = jnp.clip(v.astype(jnp.int32), 0, g - 1)
-        return v - i0.astype(v.dtype)
+    a01 = _a01_rows(xi, yi, mask, g, dtype)  # (N, g*g)
+    t = jnp.dot(a01, grid_ref[0], preferred_element_type=jnp.float32)  # (N, g*c)
+    a2e = _a2_expanded(zi, g, c, jnp.float32)
+    out = jnp.dot(
+        t * a2e, _channel_selector(g, c, jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (N, c): collapse d2 (f32 — this matmul is ~c/(g*g) of the main one)
+    out_ref[0] = out.reshape(TILE_ROWS, 128, c).astype(out_ref.dtype)
 
-    a0 = _axis_weights(xi, frac_of(xi), g, xi.dtype)  # (N, g) over grid dim0
-    a1 = _axis_weights(yi, frac_of(yi), g, yi.dtype)
-    a2 = _axis_weights(zi, frac_of(zi), g, zi.dtype)
 
-    grid = grid_ref[0]  # (g, g*g*c): dim0-major flattening of (g, g, g, c)
-    t = jnp.dot(a0, grid, preferred_element_type=jnp.float32)  # (N, g*g*c)
-    t = t.reshape(TILE_N, g, g * c)
-    t = jnp.sum(t * a1[:, :, None], axis=1)  # collapse d1 -> (N, g*c)
-    t = t.reshape(TILE_N, g, c)
-    out = jnp.sum(t * a2[:, :, None], axis=1)  # collapse d2 -> (N, c)
-    out = out * mask[:, None]
-    out_ref[0] = out.reshape(TILE_ROWS, 128, c)
+def _lift_bwd_kernel(x_ref, y_ref, z_ref, m_ref, g_ref, dv_ref, *, g, c, dtype):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    xi = x_ref[0].reshape(TILE_N)
+    yi = y_ref[0].reshape(TILE_N)
+    zi = z_ref[0].reshape(TILE_N)
+    mask = m_ref[0].reshape(TILE_N)
+    gbar = g_ref[0].reshape(TILE_N, c)
+
+    a01 = _a01_rows(xi, yi, mask, g, dtype)
+    a2e = _a2_expanded(zi, g, c, jnp.float32)
+    # e[i, d2*c+cc] = a2[i, d2] * gbar[i, cc]
+    e = (a2e * jnp.concatenate([gbar] * g, axis=1)).astype(dtype)
+    # dV[(d0 d1), (d2 c)] += sum_i a01[i, .] e[i, .]
+    dv_ref[0] += jax.lax.dot_general(
+        a01, e, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _point_blocks(vox_coords, in_bounds, b, rows, ref_dtype):
+    xi = vox_coords[:, 2].reshape(b, rows, 128)  # grid spatial dim0
+    yi = vox_coords[:, 1].reshape(b, rows, 128)
+    zi = vox_coords[:, 0].reshape(b, rows, 128)
+    m = in_bounds.astype(ref_dtype).reshape(b, rows, 128)
+    return xi, yi, zi, m
+
+
+def _coord_specs():
+    return [pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)) for _ in range(4)]
 
 
 def trilinear_lift_pallas(
     voxel: jnp.ndarray, vox_coords: jnp.ndarray, in_bounds: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = False, dtype=None,
 ) -> jnp.ndarray:
-    """Sample ``voxel`` (B, G, G, G, C) at ``vox_coords`` (B, 3, N).
+    """Forward lift: sample ``voxel`` (B, G, G, G, C) at ``vox_coords`` (B, 3, N).
 
-    ``vox_coords`` rows follow ``models/deepvoxels._lift_corner_data``'s
-    axis roles (row 2 -> grid dim0, row 1 -> dim1, row 0 -> dim2);
-    ``in_bounds`` (B, N) zeroes out-of-frustum cells. Returns (B, N, C).
+    ``vox_coords`` rows follow ``models/deepvoxels.lift_frustum``'s axis
+    roles (row 2 -> grid dim0, row 1 -> dim1, row 0 -> dim2); ``in_bounds``
+    (B, N) zeroes out-of-frustum cells. ``dtype`` selects the MXU operand
+    dtype (default f32; ``jnp.bfloat16`` for ~2x). Returns (B, N, C) f32.
     """
     b, g, _, _, c = voxel.shape
     n = vox_coords.shape[2]
     assert n % TILE_N == 0, "pad points to a multiple of TILE_N"
     rows = n // 128
-
-    xi = vox_coords[:, 2].reshape(b, rows, 128)
-    yi = vox_coords[:, 1].reshape(b, rows, 128)
-    zi = vox_coords[:, 0].reshape(b, rows, 128)
-    m = in_bounds.astype(voxel.dtype).reshape(b, rows, 128)
-    grid = voxel.reshape(b, g, g * g * c)
+    dt = dtype or voxel.dtype
+    xi, yi, zi, m = _point_blocks(vox_coords, in_bounds, b, rows, vox_coords.dtype)
+    grid = voxel.reshape(b, g * g, g * c).astype(dt)
 
     out = pl.pallas_call(
-        functools.partial(_lift_kernel, g=g, c=c),
+        functools.partial(_lift_fwd_kernel, g=g, c=c, dtype=dt),
         out_shape=jax.ShapeDtypeStruct((b, rows, 128, c), jnp.float32),
         grid=(b, rows // TILE_ROWS),
-        in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, g, g * g * c), lambda i, j: (i, 0, 0)),
-        ],
+        in_specs=_coord_specs() + [pl.BlockSpec((1, g * g, g * c), lambda i, j: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, TILE_ROWS, 128, c), lambda i, j: (i, j, 0, 0)),
         interpret=interpret,
     )(xi, yi, zi, m, grid)
     return out.reshape(b, n, c)
+
+
+def _trilinear_dv_pallas(gbar, vox_coords, in_bounds, g, c, interpret, dtype):
+    """dV (B, G, G, G, C) from cotangents ``gbar`` (B, N, C)."""
+    b, n, _ = gbar.shape
+    rows = n // 128
+    xi, yi, zi, m = _point_blocks(vox_coords, in_bounds, b, rows, vox_coords.dtype)
+    gb = gbar.reshape(b, rows, 128, c).astype(dtype)
+
+    dv = pl.pallas_call(
+        functools.partial(_lift_bwd_kernel, g=g, c=c, dtype=dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g * g, g * c), jnp.float32),
+        grid=(b, rows // TILE_ROWS),
+        in_specs=_coord_specs()
+        + [pl.BlockSpec((1, TILE_ROWS, 128, c), lambda i, j: (i, j, 0, 0))],
+        out_specs=pl.BlockSpec((1, g * g, g * c), lambda i, j: (i, 0, 0)),
+        interpret=interpret,
+    )(xi, yi, zi, m, gb)
+    return dv.reshape(b, g, g, g, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def trilinear_lift(voxel, vox_coords, in_bounds, interpret=False, dtype=None):
+    """Differentiable VMEM-resident lift; gradient flows to ``voxel`` only
+    (coordinates are index data, as in the reference projection)."""
+    return trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype)
+
+
+def _lift_fwd(voxel, vox_coords, in_bounds, interpret, dtype):
+    out = trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype)
+    # only voxel's shape/dtype are needed, but residuals must be JAX values
+    return out, (jnp.zeros(voxel.shape[1:] + (0,), voxel.dtype), vox_coords, in_bounds)
+
+
+def _lift_bwd(interpret, dtype, res, gbar):
+    (vproto, vox_coords, in_bounds) = res
+    g, _, _, c, _ = vproto.shape
+    dv = _trilinear_dv_pallas(
+        gbar, vox_coords, in_bounds, g, c, interpret, dtype or vproto.dtype
+    )
+    return dv.astype(vproto.dtype), None, None
+
+
+trilinear_lift.defvjp(_lift_fwd, _lift_bwd)

@@ -93,10 +93,11 @@ class TestPadding:
 
 
 class TestOnehotRoute:
-    """The scatter-free one-hot einsum route must match both other paths."""
+    """The scatter-free routes must match the xla gather path."""
 
+    @pytest.mark.parametrize("mode", ["onehot", "hybrid"])
     @pytest.mark.parametrize("exact", [True, False])
-    def test_forward_and_grads_match_xla(self, exact):
+    def test_forward_and_grads_match_xla(self, exact, mode):
         from rgbd_gan_tpu.geometry.warp import bilinear_sample
 
         rng = np.random.RandomState(7)
@@ -106,16 +107,39 @@ class TestOnehotRoute:
         )
 
         wx, mx = bilinear_sample(img, zp, exact=exact)
-        wo, mo = bilinear_sample(img, zp, exact=exact, gather_mode="onehot")
+        wo, mo = bilinear_sample(img, zp, exact=exact, gather_mode=mode)
         np.testing.assert_allclose(np.asarray(wo), np.asarray(wx), atol=1e-5)
         np.testing.assert_allclose(np.asarray(mo), np.asarray(mx), atol=1e-7)
 
-        def loss(mode):
+        def loss(m):
             return lambda i, z: jnp.sum(
-                bilinear_sample(i, z, exact=exact, gather_mode=mode)[0] ** 2
+                bilinear_sample(i, z, exact=exact, gather_mode=m)[0] ** 2
             )
 
         gx = jax.grad(loss("xla"), argnums=(0, 1))(img, zp)
-        go = jax.grad(loss("onehot"), argnums=(0, 1))(img, zp)
+        go = jax.grad(loss(mode), argnums=(0, 1))(img, zp)
         for a, b in zip(gx, go):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+    def test_hybrid_forward_bitwise_equals_xla(self):
+        """The hybrid forward is the same arithmetic as the xla route."""
+        from rgbd_gan_tpu.geometry.warp import bilinear_sample
+
+        rng = np.random.RandomState(11)
+        img = jnp.asarray(rng.rand(2, 16, 16, 4).astype("f"))
+        zp = jnp.asarray(
+            (rng.rand(2, 300, 3) * np.array([20, 20, 1.2]) - np.array([2, 2, 0])).astype("f")
+        )
+        wx, _ = bilinear_sample(img, zp, exact=True)
+        wh, _ = bilinear_sample(img, zp, exact=True, gather_mode="hybrid")
+        assert np.array_equal(np.asarray(wx), np.asarray(wh))
+
+    def test_hybrid_masked_points_zero_grad(self):
+        from rgbd_gan_tpu.ops.bilinear_gradgather import bilinear_gather_grad
+
+        rng = np.random.RandomState(12)
+        img = jnp.asarray(rng.rand(1, 8, 8, 2).astype("f"))
+        u = jnp.asarray(rng.rand(1, 64).astype("f") * 6).at[:, :8].set(-5.0)
+        v = jnp.asarray(rng.rand(1, 64).astype("f") * 6)
+        du = jax.grad(lambda uu: jnp.sum(bilinear_gather_grad(img, uu, v, False)))(u)
+        np.testing.assert_allclose(np.asarray(du[:, :8]), 0.0, atol=1e-7)

@@ -48,8 +48,36 @@ class TestTrilinearPallas:
     def test_out_of_bounds_zero(self):
         rng = np.random.RandomState(1)
         voxel = jnp.asarray(rng.rand(1, GRID_DIM, GRID_DIM, GRID_DIM, 2).astype("f"))
-        # all points far outside the grid
-        vox = jnp.full((1, 3, 128), -7.0)
-        ib = jnp.zeros((1, 128), bool)
+        # all points far outside the grid (one full point tile)
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N
+
+        vox = jnp.full((1, 3, TILE_N), -7.0)
+        ib = jnp.zeros((1, TILE_N), bool)
         out = trilinear_lift_pallas(voxel, vox, ib, interpret=True)
         np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_grad_matches_gather_lift(self):
+        """Custom-VJP dV == autodiff of the dense gather lift (interpret)."""
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N, trilinear_lift
+
+        rng = np.random.RandomState(2)
+        b, c = 2, 4
+        voxel = jnp.asarray(rng.rand(b, GRID_DIM, GRID_DIM, GRID_DIM, c).astype("f"))
+        mats = camera_matrices(jnp.zeros((b, 6)).at[:, 1].set(0.7))
+        coords = jnp.asarray(frustum_camera_coords())
+        n_sub = TILE_N * 2
+        vox, ib = _corner_inputs(mats, coords)
+        vox, ib = vox[:, :, :n_sub], ib[:, :n_sub]
+        cot = jnp.asarray(rng.rand(b, n_sub, c).astype("f"))
+
+        def ours(v):
+            return jnp.sum(trilinear_lift(v, vox, ib, True) * cot)
+
+        def ref(v):
+            n = coords.shape[1]
+            full = lift_frustum(v, mats, coords).reshape(b, n, c)[:, :n_sub]
+            return jnp.sum(full * cot)
+
+        g_ours = jax.grad(ours)(voxel)
+        g_ref = jax.grad(ref)(voxel)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=3e-5)
