@@ -203,10 +203,11 @@ def _bilinear_sample_fused(img, zp, exact, gather_mode):
     z_s = jax.lax.stop_gradient(zp[..., 2])
     zmask = (z_s > CLIP_Z_MIN).astype(img.dtype)
 
-    if gather_mode == "pallas":
+    if gather_mode in ("pallas", "pallas_bf16"):
         from ..ops.bilinear_pallas import bilinear_gather_pallas
 
-        warped = bilinear_gather_pallas(img, u_rows, v_cols, exact)  # (B, HW, C)
+        dt = jnp.bfloat16 if gather_mode == "pallas_bf16" else None
+        warped = bilinear_gather_pallas(img, u_rows, v_cols, exact, False, dt)  # (B, HW, C)
     elif gather_mode == "hybrid":
         from ..ops.bilinear_gradgather import bilinear_gather_grad
 

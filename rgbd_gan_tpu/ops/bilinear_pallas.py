@@ -69,74 +69,101 @@ def _onehot_weighted(idx0, idx1, w0, w1, size, dtype):
     """(N, size) matrix with w0 at idx0 and w1 at idx1 per row (VPU build)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx0.shape[0], size), 1)
     a = jnp.where(iota == idx0[:, None], w0[:, None], 0.0)
-    return a + jnp.where(iota == idx1[:, None], w1[:, None], 0.0)
+    return (a + jnp.where(iota == idx1[:, None], w1[:, None], 0.0)).astype(dtype)
 
 
-def _fwd_kernel(u_ref, v_ref, w_ref, img_ref, out_ref, *, h, w, c, exact):
-    u = u_ref[0].reshape(TILE_N)
-    v = v_ref[0].reshape(TILE_N)
+def _onehot_weighted_expanded(idx0, idx1, w0, w1, size, c, dtype):
+    """(N, size*c) rows: w0 at columns idx0*c+cc, w1 at idx1*c+cc.
+
+    The per-channel expansion of :func:`_onehot_weighted` — Mosaic rejects
+    the (N, size*c) -> (N, size, c) minor-dim shape cast, so all column
+    collapses stay on the fused (size, c) axis.
+    """
+    n = idx0.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, size * c), 1)
+    d = j // c
+    a = jnp.where(d == idx0[:, None], w0[:, None], 0.0)
+    return (a + jnp.where(d == idx1[:, None], w1[:, None], 0.0)).astype(dtype)
+
+
+def _channel_selector(w, c, dtype):
+    """(w*c, c) constant 0/1 matrix S[j, cc] = (j % c == cc): sums the
+    (w, c)-fused columns per channel as a matmul (no reshape-and-reduce)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
+    return (rows % c == cols).astype(dtype)
+
+
+def _weights(u, v, wpad, h, w, exact):
+    """Corner indices + masked bilinear weights (loss_functions.py:209-212)."""
     u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
-    wmask = w_ref[0].reshape(TILE_N) * bounds.astype(u.dtype)  # padding * in-bounds
+    wmask = wpad * bounds.astype(u.dtype)  # padding * in-bounds
     u0f = u0i.astype(u.dtype)
-    # weights use the unoverwritten u0+1 (loss_functions.py:209-212)
+    # weights use the unoverwritten u0+1 even in exact mode
     wu0 = (u0f + 1.0 - u) * wmask
     wu1 = (u - u0f) * wmask
     v0f = v0i.astype(v.dtype)
     wv0 = v0f + 1.0 - v
     wv1 = v - v0f
+    return u0i, u1i, v0i, v1i, wmask, wu0, wu1, wv0, wv1
 
-    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, u.dtype)  # (N, H)
-    av = _onehot_weighted(v0i, v1i, wv0, wv1, w, v.dtype)  # (N, W)
+
+def _fwd_kernel(u_ref, v_ref, w_ref, img_ref, out_ref, *, h, w, c, exact, dtype):
+    u = u_ref[0].reshape(TILE_N)
+    v = v_ref[0].reshape(TILE_N)
+    u0i, u1i, v0i, v1i, _, wu0, wu1, wv0, wv1 = _weights(
+        u, v, w_ref[0].reshape(TILE_N), h, w, exact
+    )
+
+    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, dtype)  # (N, H)
+    ave = _onehot_weighted_expanded(v0i, v1i, wv0, wv1, w, c, jnp.float32)
 
     img = img_ref[0]  # (H, W*C)
     t = jnp.dot(au, img, preferred_element_type=jnp.float32)  # (N, W*C)
-    t = t.reshape(au.shape[0], w, c)
-    out = jnp.sum(t * av[:, :, None], axis=1)  # (N, C)
-    out_ref[0] = out.reshape(TILE_ROWS, 128, c)
+    out = jnp.dot(
+        t * ave, _channel_selector(w, c, jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (N, C)
+    out_ref[0] = out.reshape(TILE_ROWS, 128, c).astype(out_ref.dtype)
 
 
 def _bwd_kernel(u_ref, v_ref, w_ref, img_ref, g_ref, dimg_ref, du_ref, dv_ref,
-                *, h, w, c, exact):
+                *, h, w, c, exact, dtype):
     u = u_ref[0].reshape(TILE_N)
     v = v_ref[0].reshape(TILE_N)
     g = g_ref[0].reshape(TILE_N, c)
-    u0i, u1i, v0i, v1i, bounds = _corner_data(u, v, h, w, exact)
-    wmask = w_ref[0].reshape(TILE_N) * bounds.astype(u.dtype)
-    u0f = u0i.astype(u.dtype)
-    wu0 = (u0f + 1.0 - u) * wmask
-    wu1 = (u - u0f) * wmask
-    v0f = v0i.astype(v.dtype)
-    wv0 = v0f + 1.0 - v
-    wv1 = v - v0f
+    u0i, u1i, v0i, v1i, wmask, wu0, wu1, wv0, wv1 = _weights(
+        u, v, w_ref[0].reshape(TILE_N), h, w, exact
+    )
 
-    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, u.dtype)
-    av = _onehot_weighted(v0i, v1i, wv0, wv1, w, v.dtype)
+    au = _onehot_weighted(u0i, u1i, wu0, wu1, h, dtype)
+    ave = _onehot_weighted_expanded(v0i, v1i, wv0, wv1, w, c, jnp.float32)
+    g_t = jnp.concatenate([g] * w, axis=1)  # (N, W*C): g tiled per column
     img = img_ref[0]  # (H, W*C)
-    n = au.shape[0]
 
     # d img: Au^T @ (Av (x) g) accumulated over point tiles
-    avg = (av[:, :, None] * g[:, None, :]).reshape(n, w * c)  # (N, W*C)
-    contrib = jnp.dot(au.T, avg, preferred_element_type=jnp.float32)  # (H, W*C)
-    tile = pl.program_id(1)
+    avg = ave * g_t  # (N, W*C)
+    contrib = jax.lax.dot_general(
+        au, avg.astype(dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, W*C)
 
-    @pl.when(tile == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
 
     dimg_ref[0] += contrib
 
     # d u: derivative one-hot (-1 at u0, +1 at u1) * mask
-    dau = _onehot_weighted(u0i, u1i, -wmask, wmask, h, u.dtype)
-    t = jnp.dot(dau, img, preferred_element_type=jnp.float32).reshape(n, w, c)
-    du = jnp.sum(jnp.sum(t * av[:, :, None], axis=1) * g, axis=1)
-    du_ref[0] = du.reshape(TILE_ROWS, 128)
+    dau = _onehot_weighted(u0i, u1i, -wmask, wmask, h, dtype)
+    t = jnp.dot(dau, img, preferred_element_type=jnp.float32)  # (N, W*C)
+    du_ref[0] = jnp.sum(t * avg, axis=1).reshape(TILE_ROWS, 128)
 
-    # d v
-    # dav unmasked: the mask already rides in au (one factor per product)
-    dav = _onehot_weighted(v0i, v1i, -jnp.ones_like(wmask), jnp.ones_like(wmask), w, v.dtype)
-    t2 = jnp.dot(au, img, preferred_element_type=jnp.float32).reshape(n, w, c)
-    dv = jnp.sum(jnp.sum(t2 * dav[:, :, None], axis=1) * g, axis=1)
-    dv_ref[0] = dv.reshape(TILE_ROWS, 128)
+    # d v: dav unmasked (the mask already rides in au, one factor per product)
+    ones = jnp.ones_like(wmask)
+    dave = _onehot_weighted_expanded(v0i, v1i, -ones, ones, w, c, jnp.float32)
+    t2 = jnp.dot(au, img, preferred_element_type=jnp.float32)  # (N, W*C)
+    dv_ref[0] = jnp.sum(t2 * dave * g_t, axis=1).reshape(TILE_ROWS, 128)
 
 
 def _pad_points(x, tile):
@@ -147,21 +174,27 @@ def _pad_points(x, tile):
     return x, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def bilinear_gather_pallas(img, u, v, exact: bool = True, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bilinear_gather_pallas(
+    img, u, v, exact: bool = True, interpret: bool = False, dtype=None
+):
     """Masked bilinear gather ``(B, H, W, C), (B, N), (B, N) -> (B, N, C)``.
 
     ``u`` indexes rows, ``v`` columns (the caller performs the reference's
     u/v swap and perspective divide). Out-of-bounds points contribute zero
     and receive zero gradient; gradients flow through the interpolation
     weights (u, v) and the gathered values (img), like the jnp path.
+    ``dtype`` selects the MXU operand dtype for the one-hot contractions
+    (default: img.dtype; ``jnp.bfloat16`` for ~2x MXU rate at ~1e-2 rel
+    weight precision — accumulation stays f32).
     """
-    out, _ = _fwd_impl(img, u, v, exact, interpret)
+    out, _ = _fwd_impl(img, u, v, exact, interpret, dtype)
     return out
 
 
-def _fwd_impl(img, u, v, exact, interpret):
+def _fwd_impl(img, u, v, exact, interpret, dtype=None):
     b, h, w, c = img.shape
+    dt = dtype or img.dtype
     u_p, n = _pad_points(u, TILE_N)
     v_p, _ = _pad_points(v, TILE_N)
     mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
@@ -170,12 +203,12 @@ def _fwd_impl(img, u, v, exact, interpret):
     u_r = u_p.reshape(b, rows, 128)
     v_r = v_p.reshape(b, rows, 128)
     m_r = mask.reshape(b, rows, 128)
-    img_r = img.reshape(b, h, w * c)
+    img_r = img.reshape(b, h, w * c).astype(dt)
 
     grid = (b, rows // TILE_ROWS)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h=h, w=w, c=c, exact=exact),
-        out_shape=jax.ShapeDtypeStruct((b, rows, 128, c), img.dtype),
+        functools.partial(_fwd_kernel, h=h, w=w, c=c, exact=exact, dtype=dt),
+        out_shape=jax.ShapeDtypeStruct((b, rows, 128, c), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TILE_ROWS, 128), lambda i, j: (i, j, 0)),
@@ -189,13 +222,14 @@ def _fwd_impl(img, u, v, exact, interpret):
     return out.reshape(b, n_pad, c)[:, :n], (img, u, v)
 
 
-def _vjp_fwd(img, u, v, exact, interpret):
-    return _fwd_impl(img, u, v, exact, interpret)
+def _vjp_fwd(img, u, v, exact, interpret, dtype):
+    return _fwd_impl(img, u, v, exact, interpret, dtype)
 
 
-def _vjp_bwd(exact, interpret, residuals, g):
+def _vjp_bwd(exact, interpret, dtype, residuals, g):
     img, u, v = residuals
     b, h, w, c = img.shape
+    dt = dtype or img.dtype
     u_p, n = _pad_points(u, TILE_N)
     v_p, _ = _pad_points(v, TILE_N)
     mask = jnp.ones_like(u_p).at[:, n:].set(0.0)
@@ -205,13 +239,13 @@ def _vjp_bwd(exact, interpret, residuals, g):
     u_r = u_p.reshape(b, rows, 128)
     v_r = v_p.reshape(b, rows, 128)
     m_r = mask.reshape(b, rows, 128)
-    img_r = img.reshape(b, h, w * c)
+    img_r = img.reshape(b, h, w * c).astype(dt)
 
     grid = (b, rows // TILE_ROWS)
     dimg, du, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=h, w=w, c=c, exact=exact),
+        functools.partial(_bwd_kernel, h=h, w=w, c=c, exact=exact, dtype=dt),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w * c), img.dtype),
+            jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
             jax.ShapeDtypeStruct((b, rows, 128), u.dtype),
             jax.ShapeDtypeStruct((b, rows, 128), v.dtype),
         ),
@@ -231,7 +265,7 @@ def _vjp_bwd(exact, interpret, residuals, g):
         interpret=interpret,
     )(u_r, v_r, m_r, img_r, g_p)
     return (
-        dimg.reshape(b, h, w, c),
+        dimg.reshape(b, h, w, c).astype(img.dtype),
         du.reshape(b, n_pad)[:, :n],
         dv.reshape(b, n_pad)[:, :n],
     )
