@@ -92,21 +92,37 @@ def shard_train_step(step: Callable, mesh: Mesh) -> Callable:
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def shard_windowed_step(wstep: Callable, mesh: Mesh) -> Callable:
+    """Like :func:`shard_train_step` for a windowed step
+    (``train.steps.make_windowed_step``): the batch window (K, B, ...) is
+    sharded along its *batch* axis, the stacked keys/alphas replicated."""
+    sharded = jax.shard_map(
+        wstep,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully-replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Shard a host batch along its leading axis across the mesh.
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Shard a host batch along its batch axis across the mesh.
 
-    Single-host: a plain sharded ``device_put``. Multi-host: each process
-    holds only its local slice of the global batch, so the global array must
-    be assembled with ``make_array_from_process_local_data`` (``device_put``
-    cannot build a global array from per-host shards).
+    ``batch_axis=1`` for (K, B, ...) step windows. Single-host: a plain
+    sharded ``device_put``. Multi-host: each process holds only its local
+    slice of the global batch, so the global array must be assembled with
+    ``make_array_from_process_local_data`` (``device_put`` cannot build a
+    global array from per-host shards).
     """
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    spec = [None] * batch_axis + [DATA_AXIS]
+    sharding = NamedSharding(mesh, P(*spec))
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
     return jax.device_put(batch, sharding)

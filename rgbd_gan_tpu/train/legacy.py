@@ -24,7 +24,7 @@ from .ema import soft_copy_params
 from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss
 from .optim import get_lr_scale_factor
 from .state import TrainState
-from .steps import StepSpec, _dis_apply, _pmean
+from .steps import StepSpec, _dis_apply, _pmean, _to_unit_range
 
 
 def loss_func_dsgan(x: jnp.ndarray, z: jnp.ndarray, theta: jnp.ndarray, tau: float = 10.0):
@@ -86,7 +86,7 @@ def make_legacy_train_step(
             key = jax.random.fold_in(key, jax.lax.axis_index(spec.axis_name))
         kg, kd = jax.random.split(key)
 
-        x_real = downsize_real(x_real_full, stage, alpha, spec.max_stage)
+        x_real = downsize_real(_to_unit_range(x_real_full), stage, alpha, spec.max_stage)
         z = sample_z(kg)
 
         def gen_loss_fn(params_gen):

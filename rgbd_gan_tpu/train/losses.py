@@ -69,6 +69,7 @@ def dis_out_and_r1(dis_fn: Callable[[jnp.ndarray], jnp.ndarray], x_real: jnp.nda
     """
     y_real, vjp_fn = jax.vjp(dis_fn, x_real)
     (grad_x,) = vjp_fn(jnp.ones_like(y_real))
+    grad_x = grad_x.astype(jnp.float32)  # penalty math in f32 (input may be bf16)
     sq_norms = jnp.sum(grad_x**2, axis=tuple(range(1, grad_x.ndim)))
     return y_real, l2_loss(jnp.sqrt(sq_norms + 1e-24), 0.0)
 

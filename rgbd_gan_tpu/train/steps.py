@@ -63,7 +63,7 @@ class StepSpec:
     lambda_occupancy: float = 1.0
     style_mixing_rate: float = 0.0
     exact_bilinear: bool = True
-    gather_mode: str = "xla"  # 'xla' | 'onehot' (scatter-free) | 'pallas'
+    gather_mode: str = "xla"  # 'xla' | 'onehot' | 'hybrid' | 'pallas' (warp.bilinear_sample)
     axis_name: Optional[str] = None
     max_stage: int = 17
 
@@ -72,6 +72,15 @@ def _pmean(tree, axis_name):
     if axis_name is None:
         return tree
     return jax.lax.pmean(tree, axis_name)
+
+
+def _to_unit_range(x_real_full: jnp.ndarray) -> jnp.ndarray:
+    """uint8 batches normalise on device — same arithmetic as the host
+    pipeline (``data/dataset.py``: x/127.5 - 1 in f32), shipped at 1/4 the
+    host->device bandwidth. Float inputs pass through (already in [-1, 1])."""
+    if jnp.issubdtype(x_real_full.dtype, jnp.integer):
+        return x_real_full.astype(jnp.float32) / 127.5 - 1.0
+    return x_real_full
 
 
 def _dis_apply(dis, params_dis, sn_state, x, stage, alpha, *, return_hidden=False, mutable_sn=False):
@@ -107,6 +116,11 @@ def make_rgbd_train_step(
     stage = spec.stage_floor
     half = spec.batch_size // 2
     is_stylegan = spec.architecture == "stylegan"
+    # under bf16 compute, hand the R1 forward a bf16 input so the whole
+    # grad-of-grad tangent chain stays bf16 (an f32 input pins f32 tangent
+    # streams through every D conv of the penalty; the reference's mixed16
+    # mode runs the penalty in fp16 throughout)
+    r1_dtype = getattr(dis, "compute_dtype", None)
 
     def step(state: TrainState, x_real_full: jnp.ndarray, alpha, key: jax.Array):
         if spec.axis_name is not None:
@@ -119,7 +133,7 @@ def make_rgbd_train_step(
         mats = camera_matrices(thetas6)
         theta9 = theta_to_9dof(thetas6)
 
-        x_real = downsize_real(x_real_full, stage, alpha, spec.max_stage)
+        x_real = downsize_real(_to_unit_range(x_real_full), stage, alpha, spec.max_stage)
         image_size = x_real.shape[1]
 
         # ---------------- generator phase ----------------
@@ -231,8 +245,9 @@ def make_rgbd_train_step(
             if not spec.sn and spec.lambda_gp > 0:
                 # one shared D(x_real) forward feeds both the adversarial
                 # term and the R1 penalty, like the reference's graph reuse
+                x_r1 = x_real.astype(r1_dtype) if r1_dtype else x_real
                 y_real, gp_raw = dis_out_and_r1(
-                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_real
+                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_r1
                 )
                 sn3 = sn2
                 loss = dis_adv_loss(y_fake, y_real)
@@ -308,6 +323,32 @@ def make_rgbd_train_step(
     return step
 
 
+def make_windowed_step(step: Callable, window: int) -> Callable:
+    """Chain ``window`` iterations inside ONE compiled program via lax.scan.
+
+    Through a remote-dispatch runtime every ``step`` call costs a host
+    roundtrip (dispatch + the per-iteration NaN-guard fetch); scanning K
+    steps on device amortises both to one per window. The per-step math is
+    identical to K separate calls (up to XLA reassociation between the two
+    compiled programs): the caller supplies the K RNG keys (stacked, exactly
+    the keys the unwindowed loop would have used), the K real batches, and
+    the K alphas; metrics come back stacked (K,) per key so per-iteration
+    logging and the NaN guard are preserved.
+
+    ``wstep(state, xs, alphas, keys) -> (state, stacked_metrics)``.
+    """
+
+    def wstep(state, xs, alphas, keys):
+        def body(carry, inp):
+            x, a, k = inp
+            new_state, metrics = step(carry, x, a, k)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (xs, alphas, keys), length=window)
+
+    return wstep
+
+
 def make_rgb_train_step(
     gen,
     dis,
@@ -325,6 +366,7 @@ def make_rgb_train_step(
     stage = spec.stage_floor
     half = spec.batch_size // 2
     is_stylegan = spec.architecture == "stylegan"
+    r1_dtype = getattr(dis, "compute_dtype", None)  # see make_rgbd_train_step
 
     def step(state: TrainState, x_real_full: jnp.ndarray, alpha, key: jax.Array):
         if spec.axis_name is not None:
@@ -332,7 +374,7 @@ def make_rgb_train_step(
         (kz,) = jax.random.split(key, 1)
         z = jnp.concatenate([make_hidden(kz, half)] * 2, axis=0)
 
-        x_real = downsize_real(x_real_full, stage, alpha, spec.max_stage)
+        x_real = downsize_real(_to_unit_range(x_real_full), stage, alpha, spec.max_stage)
         image_size = x_real.shape[1]
 
         def gen_loss_fn(params_gen):
@@ -375,8 +417,9 @@ def make_rgb_train_step(
             )
             metrics = {}
             if not spec.sn and spec.lambda_gp > 0:
+                x_r1 = x_real.astype(r1_dtype) if r1_dtype else x_real
                 y_real, gp_raw = dis_out_and_r1(
-                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_real
+                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_r1
                 )
                 sn3 = sn2
                 loss = dis_adv_loss(y_fake, y_real)

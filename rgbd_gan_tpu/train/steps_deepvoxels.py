@@ -40,7 +40,7 @@ from ..models.deepvoxels import PROJECTION_INTRINSIC
 from .ema import soft_copy_params
 from .losses import dis_adv_loss, dis_out_and_r1, gen_adv_loss
 from .state import TrainState
-from .steps import StepSpec, _dis_apply, _pmean
+from .steps import StepSpec, _dis_apply, _pmean, _to_unit_range
 
 DEEPVOXELS_STAGE = 8  # floor of the pinned 8.5
 IMG_SIZE = 64
@@ -100,7 +100,7 @@ def make_deepvoxels_train_step(
         mats = camera_matrices(thetas6)
         theta9 = theta_to_9dof(thetas6)
 
-        x_real = _avg_pool_to(x_real_full, IMG_SIZE)
+        x_real = _avg_pool_to(_to_unit_range(x_real_full), IMG_SIZE)
 
         # ---------------- generator phase ----------------
         def gen_loss_fn(params_gen):
@@ -175,11 +175,14 @@ def make_deepvoxels_train_step(
             )
             metrics = {}
             if not spec.sn and spec.lambda_gp > 0:
+                # bf16 R1 input keeps the grad-of-grad tangents bf16 (steps.py)
+                r1_dtype = getattr(dis, "compute_dtype", None)
+                x_r1 = x_real.astype(r1_dtype) if r1_dtype else x_real
                 y_real, gp_raw = dis_out_and_r1(
                     lambda xr: _dis_apply(
                         dis, params_dis, sn2, xr, DEEPVOXELS_STAGE, alpha
                     )[0],
-                    x_real,
+                    x_r1,
                 )
                 sn3 = sn2
                 loss = dis_adv_loss(y_fake, y_real)

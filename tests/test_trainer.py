@@ -400,3 +400,56 @@ class TestProfilingMode:
         # a trace artifact exists somewhere under the profile dir
         found = any(files for _, _, files in os.walk(prof_dir))
         assert found
+
+
+class TestStepWindowing:
+    """Device-side step windows (steps.make_windowed_step) are a pure
+    dispatch optimization: same per-step math on the same RNG stream (the
+    scan program may reassociate float ops, so equality is near-bitwise)."""
+
+    def test_windowed_matches_unwindowed(self, tmp_path):
+        data = synthetic_dataset(8, 32)
+        cfg_a = tiny_config(tmp_path, iteration=5, out=str(tmp_path / "a"),
+                            snapshot_interval=100)
+        rows_a = []
+        Trainer(cfg_a, dataset=data, seed=3).run(log_cb=rows_a.append)
+
+        cfg_b = tiny_config(tmp_path, iteration=5, out=str(tmp_path / "b"),
+                            snapshot_interval=100, step_window=3)
+        rows_b = []
+        tb = Trainer(cfg_b, dataset=data, seed=3)
+        tb.run(log_cb=rows_b.append)
+
+        assert len(rows_a) == len(rows_b) == 5
+        for ra, rb in zip(rows_a, rows_b):
+            assert ra["iteration"] == rb["iteration"]
+            for k in ra:
+                if k.startswith(("gen/", "dis/")) or k in ("stage", "image_size"):
+                    np.testing.assert_allclose(rb[k], ra[k], rtol=1e-5, err_msg=k)
+        # the spec flip at start_occlusion_aware=2 must split the window
+        assert int(tb.state.iteration) == 5
+
+    def test_window_respects_preview_and_snapshot_boundaries(self, tmp_path):
+        data = synthetic_dataset(8, 32)
+        cfg = tiny_config(tmp_path, iteration=6, step_window=4,
+                          snapshot_interval=3, evaluation_sample_interval=100,
+                          start_occlusion_aware=0)
+        t = Trainer(cfg, dataset=data, seed=0)
+        t.run()
+        out = cfg.out
+        assert os.path.exists(os.path.join(out, "snapshot_iter_3.npz"))
+        assert os.path.exists(os.path.join(out, "snapshot_iter_6.npz"))
+        assert int(t.state.iteration) == 6
+
+    def test_window_len_bounds(self, tmp_path):
+        data = synthetic_dataset(8, 32)
+        cfg = tiny_config(tmp_path, iteration=10, step_window=8,
+                          start_occlusion_aware=0)
+        t = Trainer(cfg, dataset=data, seed=0)
+        spec = t._spec_for(5, 6)
+        # boundary: preview at 8 -> window starting at it=5 stops after 3
+        assert t._window_len(5, spec, 10, 8, preview_interval=8,
+                             snapshot_interval=100) == 3
+        # end of run bounds the window
+        assert t._window_len(8, spec, 10, 8, preview_interval=100,
+                             snapshot_interval=100) == 2
