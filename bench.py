@@ -33,16 +33,43 @@ import jax.numpy as jnp
 
 REFERENCE_IMAGES_PER_SEC = 45.0  # estimated Chainer-GPU (V100) throughput
 
-CH = 256
-BATCH = 32
-STAGE = 10  # 128x128
-FULL_RES = 128
-ITERS = 60
+CH = int(os.environ.get("BENCH_CH", 256))
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
+STAGE = int(os.environ.get("BENCH_STAGE", 10))  # 10 = 128x128
+FULL_RES = 4 * 2 ** ((STAGE + 1) // 2)
+ITERS = int(os.environ.get("BENCH_ITERS", 60))
 WARMUP = 5
 SYNC_EVERY = 10
 
+# peak dense-matmul TFLOP/s per chip (bf16), keyed by device_kind substring;
+# used for the MFU figure so the result stands independent of the
+# REFERENCE_IMAGES_PER_SEC estimate
+PEAK_BF16_TFLOPS = (
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 197.0),
+    ("v6", 918.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+)
 
-def build(mixed16: bool):
+
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return 197.0  # assume v5e-class if unrecognised
+
+
+def _step_flops(step, *args) -> float:
+    """XLA's own FLOP count for the compiled step (0.0 if unavailable)."""
+    try:
+        cost = step.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def build(mixed16: bool, sharded: bool = False):
     from rgbd_gan_tpu.core import Config
     from rgbd_gan_tpu.geometry import CameraParamPrior
     from rgbd_gan_tpu.models import Discriminator, StyleGANGenerator, stylegan_make_hidden
@@ -75,6 +102,8 @@ def build(mixed16: bool):
             )
         )
     )
+    from rgbd_gan_tpu.parallel.mesh import DATA_AXIS
+
     spec = StepSpec(
         architecture="stylegan",
         stage_floor=STAGE,
@@ -85,7 +114,9 @@ def build(mixed16: bool):
         lambda_depth=10.0,
         depth_min=1.0,
         lambda_geometric=3.0,
-        gather_mode="onehot",  # scatter-free 3D-consistency backward
+        # scatter-free 3D-consistency backward; BENCH_GATHER overrides for A/B
+        gather_mode=os.environ.get("BENCH_GATHER", "hybrid"),
+        axis_name=DATA_AXIS if sharded else None,
     )
     state = TrainState(
         params_gen=params_gen,
@@ -97,32 +128,22 @@ def build(mixed16: bool):
         sn_state=None,
         iteration=jnp.int32(0),
     )
-    step = jax.jit(  # donate: in-place state update in HBM
-        make_rgbd_train_step(
-            gen, dis, lambda k, n: stylegan_make_hidden(k, n, CH), prior,
-            opt_map, opt_gen, opt_dis, spec,
-        ),
-        donate_argnums=(0,),
+    step = make_rgbd_train_step(
+        gen, dis, lambda k, n: stylegan_make_hidden(k, n, CH), prior,
+        opt_map, opt_gen, opt_dis, spec,
     )
-    return state, step
+    return state, step  # step is un-jitted (callers jit / shard_map / window it)
 
 
-def main():
-    mixed16 = os.environ.get("BENCH_F32", "") != "1"
-    state, step = build(mixed16)
-    x = jax.random.uniform(
-        jax.random.PRNGKey(3), (BATCH, FULL_RES, FULL_RES, 3), minval=-1, maxval=1
-    )
-    alpha = jnp.float32(0.0)
-
+def _run(step, state, x, alpha, iters=ITERS, warmup=WARMUP):
     key = jax.random.PRNGKey(10)
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
         float(jax.device_get(metrics["gen/loss_adv"]))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
+    for i in range(iters):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
         if (i + 1) % SYNC_EVERY == 0:
@@ -130,19 +151,94 @@ def main():
             loss = float(jax.device_get(metrics["gen/loss_adv"]))
     dt = time.perf_counter() - t0
     assert loss == loss, "NaN loss in benchmark"
+    return BATCH * iters / dt
 
-    images_per_sec = BATCH * ITERS / dt
+
+def _run_windowed(step, state, x, alpha, window, iters=ITERS, warmup=WARMUP):
+    """Time the trainer's step-window path: K steps chained on device per
+    dispatch (``train.steps.make_windowed_step``), same per-step math."""
+    from rgbd_gan_tpu.train.steps import make_windowed_step
+
+    wstep = jax.jit(make_windowed_step(step, window), donate_argnums=(0,))
+    xs = jnp.broadcast_to(x, (window,) + x.shape)
+    alphas = jnp.full((window,), alpha, jnp.float32)
+    key = jax.random.PRNGKey(10)
+
+    def one(state, key):
+        keys = jax.random.split(key, window + 1)
+        state, metrics = wstep(state, xs, alphas, keys[1:])
+        return state, metrics, keys[0]
+
+    for _ in range(max(warmup // window, 1)):
+        state, metrics, key = one(state, key)
+        float(jax.device_get(metrics["gen/loss_adv"][-1]))
+    n_windows = max(iters // window, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_windows):
+        state, metrics, key = one(state, key)
+        loss = float(jax.device_get(metrics["gen/loss_adv"][-1]))
+    dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in benchmark"
+    return BATCH * window * n_windows / dt
+
+
+def main():
+    mixed16 = os.environ.get("BENCH_F32", "") != "1"
+    window = int(os.environ.get("BENCH_WINDOW", "0"))
+    state, raw_step = build(mixed16)
+    step = jax.jit(raw_step, donate_argnums=(0,))  # donate: in-place in HBM
+    x = jax.random.uniform(
+        jax.random.PRNGKey(3), (BATCH, FULL_RES, FULL_RES, 3), minval=-1, maxval=1
+    )
+    alpha = jnp.float32(0.0)
+    key0 = jax.random.PRNGKey(10)
+    flops = _step_flops(step, state, x, alpha, key0)
+
+    if window > 1:
+        images_per_sec = _run_windowed(raw_step, state, x, alpha, window)
+    else:
+        images_per_sec = _run(step, state, x, alpha)
     mode = "bf16" if mixed16 else "f32"
+    steps_per_sec = images_per_sec / BATCH
+    achieved_tflops = flops * steps_per_sec / 1e12
+    mfu = achieved_tflops / _peak_tflops() if flops else 0.0
     print(
         json.dumps(
             {
                 "metric": (
-                    "128x128 RGBD G+D train images/sec/chip "
-                    f"(stylegan ch=256 batch=32, {mode}, host sync every {SYNC_EVERY} steps)"
+                    f"{FULL_RES}x{FULL_RES} RGBD G+D train images/sec/chip "
+                    f"(stylegan ch={CH} batch={BATCH}, {mode}, host sync every {SYNC_EVERY} steps)"
                 ),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+                "achieved_tflops_per_sec": round(achieved_tflops, 2),
+                "mfu_vs_bf16_peak": round(mfu, 4),
+            }
+        )
+    )
+
+    if os.environ.get("BENCH_SKIP_SHARDED", "") == "1":
+        return
+    # second line: the same step through shard_map on a 1-device mesh — the
+    # sharded code path (fold-in RNG, pmean collectives) exercised on real
+    # hardware each round to catch TPU-side shard_map regressions
+    from rgbd_gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_train_step
+
+    state2, step2 = build(mixed16, sharded=True)
+    mesh = make_mesh(jax.devices()[:1])
+    sharded_step = shard_train_step(step2, mesh)
+    state2 = replicate(state2, mesh)
+    xs = shard_batch(jax.device_get(x), mesh)
+    alpha_r = replicate(alpha, mesh)
+    sharded_ips = _run(sharded_step, state2, xs, alpha_r, iters=30)
+    print(
+        json.dumps(
+            {
+                "metric": "same step via shard_map on a 1-device mesh",
+                "value": round(sharded_ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(sharded_ips / REFERENCE_IMAGES_PER_SEC, 2),
             }
         )
     )

@@ -75,10 +75,11 @@ def time_fn(fn, img, mats):
 def main():
     img, mats = build_inputs()
     ref = None
-    for mode in ["xla", "onehot", "onehot_bf16"]:
+    modes = sys.argv[1:] or ["xla", "onehot", "onehot_bf16"]
+    for mode in modes:
         for chunk in [512, 1024, 2048]:
             for unroll in [1, 4, 8]:
-                if mode == "xla" and (chunk != 512 or unroll != 1):
+                if mode in ("xla", "pallas", "pallas_bf16", "hybrid") and (chunk != 512 or unroll != 1):
                     continue
                 bilinear_onehot.CHUNK = chunk
                 bilinear_onehot.UNROLL = unroll
