@@ -124,9 +124,12 @@ def lift_frustum(
         the reference's conv output dims
     :param cam2world: (B, 4, 4)
     :param coords_const: (4, N) from :func:`frustum_camera_coords`
-    :param lift_mode: 'gather' (pure-XLA flat gather) or 'pallas'
+    :param lift_mode: 'gather' (pure-XLA flat gather), 'pallas'
         (:mod:`..ops.trilinear_pallas` — VMEM-resident one-hot MXU kernel
-        with a scatter-free custom VJP; ~8x faster fwd+bwd on a v5e)
+        with a scatter-free custom VJP; bf16 operands / f32 accumulation,
+        the production mode — at the production channel count the f32
+        working set exceeds the 16 MB scoped-VMEM budget), or 'pallas_f32'
+        (exact operands; fits only for small C)
     :returns: (B, FRUSTUM_DEPTH, H, W, C) canonical view volumes
     """
     b = voxel.shape[0]
@@ -135,10 +138,11 @@ def lift_frustum(
 
     vox, in_bounds = frustum_voxel_coords(cam2world, coords_const)
 
-    if lift_mode == "pallas":
+    if lift_mode.startswith("pallas"):
         from ..ops.trilinear_pallas import trilinear_lift
 
-        out = trilinear_lift(voxel, vox, in_bounds)
+        dt = jnp.float32 if lift_mode == "pallas_f32" else jnp.bfloat16
+        out = trilinear_lift(voxel, vox, in_bounds, False, dt)
         return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
 
     # axis roles follow interpolate_trilinear (deepvoxel.py:394-396):
@@ -760,12 +764,17 @@ class DeepVoxelsDiscriminator(nn.Module):
 
 
 def _resolve_lift_mode(requested) -> str:
-    """'pallas' needs a real TPU (Mosaic); CPU runs fall back to the gather."""
-    if requested == "pallas":
-        from ..ops.bilinear_pallas import pallas_available
+    """Default on TPU: the VMEM-resident Pallas lift (measured 4.1x on the
+    whole production step: 999.8 -> 245.5 ms/step, batch 10 @ 64px ch=256
+    on a v5e). 'pallas*' needs a real TPU (Mosaic); CPU runs and an explicit
+    ``lift_mode: gather`` use the exact-arithmetic XLA gather."""
+    from ..ops.bilinear_pallas import pallas_available
 
+    if requested and str(requested).startswith("pallas"):
+        return str(requested) if pallas_available() else "gather"
+    if not requested:
         return "pallas" if pallas_available() else "gather"
-    return requested if requested else "gather"
+    return str(requested)
 
 
 def build_deepvoxels_generator(config):

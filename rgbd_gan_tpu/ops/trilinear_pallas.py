@@ -64,7 +64,7 @@ def _a01_rows(xi, yi, mask, g, dtype):
     """
     x0, x1, fx = _axis_terms(xi, g)
     y0, y1, fy = _axis_terms(yi, g)
-    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, g * g), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (xi.shape[0], g * g), 1)
     d0 = j // g
     d1 = j - d0 * g
     w0 = jnp.where(d0 == x0[:, None], ((1.0 - fx) * mask)[:, None], 0.0)
@@ -74,11 +74,14 @@ def _a01_rows(xi, yi, mask, g, dtype):
     return (w0 * w1).astype(dtype)
 
 
-def _a2_expanded(zi, g, c, dtype):
-    """(TILE_N, g*c) d2 weights expanded per channel (a2[i, d2*c + cc])."""
+def _a2_expanded(zi, g, c, dtype, d2_lo=0, d2_span=None):
+    """(TILE_N, span*c) d2 weights expanded per channel (a2[i, d2*c + cc])
+    for d2 in [d2_lo, d2_lo + span) — spanning lets the backward kernel
+    process the fused (d2, c) axis in column chunks to fit scoped VMEM."""
+    span = g if d2_span is None else d2_span
     z0, z1, fz = _axis_terms(zi, g)
-    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, g * c), 1)
-    d2 = j // c
+    j = jax.lax.broadcasted_iota(jnp.int32, (zi.shape[0], span * c), 1)
+    d2 = j // c + d2_lo
     w2 = jnp.where(d2 == z0[:, None], (1.0 - fz)[:, None], 0.0)
     w2 = w2 + jnp.where(d2 == z1[:, None], fz[:, None], 0.0)
     return w2.astype(dtype)
@@ -101,34 +104,52 @@ def _lift_fwd_kernel(x_ref, y_ref, z_ref, m_ref, grid_ref, out_ref, *, g, c, dty
 
     a01 = _a01_rows(xi, yi, mask, g, dtype)  # (N, g*g)
     t = jnp.dot(a01, grid_ref[0], preferred_element_type=jnp.float32)  # (N, g*c)
-    a2e = _a2_expanded(zi, g, c, jnp.float32)
+    # d2 collapse in the operand dtype: in bf16 mode this halves the VMEM
+    # working set (the f32 set exceeds the 16 MB scoped budget at c=32)
+    a2e = _a2_expanded(zi, g, c, dtype)
     out = jnp.dot(
-        t * a2e, _channel_selector(g, c, jnp.float32),
+        t.astype(dtype) * a2e, _channel_selector(g, c, dtype),
         preferred_element_type=jnp.float32,
-    )  # (N, c): collapse d2 (f32 — this matmul is ~c/(g*g) of the main one)
+    )  # (N, c)
     out_ref[0] = out.reshape(TILE_ROWS, 128, c).astype(out_ref.dtype)
 
 
 def _lift_bwd_kernel(x_ref, y_ref, z_ref, m_ref, g_ref, dv_ref, *, g, c, dtype):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-
     xi = x_ref[0].reshape(TILE_N)
     yi = y_ref[0].reshape(TILE_N)
     zi = z_ref[0].reshape(TILE_N)
     mask = m_ref[0].reshape(TILE_N)
-    gbar = g_ref[0].reshape(TILE_N, c)
+    gb = g_ref[0].reshape(TILE_N, c).astype(dtype)
 
-    a01 = _a01_rows(xi, yi, mask, g, dtype)
-    a2e = _a2_expanded(zi, g, c, jnp.float32)
-    # e[i, d2*c+cc] = a2[i, d2] * gbar[i, cc]
-    e = (a2e * jnp.concatenate([gbar] * g, axis=1)).astype(dtype)
-    # dV[(d0 d1), (d2 c)] += sum_i a01[i, .] e[i, .]
-    dv_ref[0] += jax.lax.dot_general(
-        a01, e, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # the full-tile working set overflows the 16 MB scoped-VMEM budget at
+    # c=32 (the a01 one-hot build needs several (n, g*g)-sized temps live at
+    # once, measured 16.04M) — process the points in sub-tiles so every
+    # per-point buffer halves; dV accumulates across sub-tiles and grid
+    # steps, with the very first contribution *writing* (no zero-init pass)
+    subs = 2 if g * g * c >= 32 * 1024 else 1
+    n_sub = TILE_N // subs
+    first = pl.program_id(1) == 0
+    for si in range(subs):
+        sel = slice(si * n_sub, (si + 1) * n_sub)
+        a01 = _a01_rows(xi[sel], yi[sel], mask[sel], g, dtype)
+        # e[i, d2*c+cc] = a2[i, d2] * gbar[i, cc]
+        a2e = _a2_expanded(zi[sel], g, c, dtype)
+        e = a2e * jnp.concatenate([gb[sel]] * g, axis=1)
+        # dV[(d0 d1), (d2 c)] += sum_i a01[i, .] e[i, .]
+        contrib = jax.lax.dot_general(
+            a01, e, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if si == 0:
+            @pl.when(first)
+            def _(contrib=contrib):
+                dv_ref[0] = contrib
+
+            @pl.when(jnp.logical_not(first))
+            def _(contrib=contrib):
+                dv_ref[0] += contrib
+        else:
+            dv_ref[0] += contrib
 
 
 def _point_blocks(vox_coords, in_bounds, b, rows, ref_dtype):
