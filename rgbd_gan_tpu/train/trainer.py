@@ -487,9 +487,13 @@ class Trainer:
             spec_p = self._spec_for(it, floor_p)
             if step_window <= 1:
                 return 1
-            return self._window_len(
+            k = self._window_len(
                 it, spec_p, total, step_window, preview_interval, snapshot_interval
             )
+            # a tail shorter than the full window runs as single steps: each
+            # distinct window length is its own compiled program, and a
+            # multi-minute compile costs far more than K-1 unwindowed steps
+            return k if k == step_window else 1
 
         def upload_batches(k: int):
             """Draw + start uploading k batches (async device transfer —

@@ -414,8 +414,11 @@ class TestStepWindowing:
         rows_a = []
         Trainer(cfg_a, dataset=data, seed=3).run(log_cb=rows_a.append)
 
+        # step_window=2 tiles the run exactly (occlusion flip at 2, end at 5
+        # -> windows [0,2) [2,4) then a single-step tail; a partial window
+        # would fall back to single steps and exercise nothing)
         cfg_b = tiny_config(tmp_path, iteration=5, out=str(tmp_path / "b"),
-                            snapshot_interval=100, step_window=3)
+                            snapshot_interval=100, step_window=2)
         rows_b = []
         tb = Trainer(cfg_b, dataset=data, seed=3)
         tb.run(log_cb=rows_b.append)
@@ -431,15 +434,17 @@ class TestStepWindowing:
 
     def test_window_respects_preview_and_snapshot_boundaries(self, tmp_path):
         data = synthetic_dataset(8, 32)
-        cfg = tiny_config(tmp_path, iteration=6, step_window=4,
-                          snapshot_interval=3, evaluation_sample_interval=100,
-                          start_occlusion_aware=0)
+        # snapshot boundaries at 4 and 8 are window *ends* (state must be
+        # materialised there) — two full windows tile the run exactly
+        cfg = tiny_config(tmp_path, iteration=8, step_window=4,
+                          snapshot_interval=4, evaluation_sample_interval=100,
+                          start_occlusion_aware=0, start_rotation=-1)
         t = Trainer(cfg, dataset=data, seed=0)
         t.run()
         out = cfg.out
-        assert os.path.exists(os.path.join(out, "snapshot_iter_3.npz"))
-        assert os.path.exists(os.path.join(out, "snapshot_iter_6.npz"))
-        assert int(t.state.iteration) == 6
+        assert os.path.exists(os.path.join(out, "snapshot_iter_4.npz"))
+        assert os.path.exists(os.path.join(out, "snapshot_iter_8.npz"))
+        assert int(t.state.iteration) == 8
 
     def test_window_len_bounds(self, tmp_path):
         data = synthetic_dataset(8, 32)
