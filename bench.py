@@ -9,10 +9,12 @@ attached accelerator, in the framework's bf16 mixed-precision mode (f32
 params/stats/heads; set BENCH_F32=1 for the pure-f32 path).
 
 Timing is honest: a loss scalar is fetched to the host every SYNC_EVERY
-steps. Steps are strictly chained through the (donated) train state, so the
-fetch forces completion of every preceding step; syncing in windows only
-amortises the host<->device roundtrip latency (~30 ms through the axon
-tunnel) without letting dispatch run ahead of execution.
+steps (default: once, at the end). Steps are strictly chained through the
+(donated) train state — step N cannot start on device before step N-1
+completes — so the final fetch forces completion of every preceding step
+and the wall time cannot undercount device execution. Each additional
+intermediate fetch only *adds* a host<->device roundtrip (~30-60 ms through
+the axon tunnel) into the measured window.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -39,7 +41,11 @@ STAGE = int(os.environ.get("BENCH_STAGE", 10))  # 10 = 128x128
 FULL_RES = 4 * 2 ** ((STAGE + 1) // 2)
 ITERS = int(os.environ.get("BENCH_ITERS", 60))
 WARMUP = 5
-SYNC_EVERY = 10
+# how often a loss scalar is fetched to the host. Steps chain through the
+# donated train state, so even a single end-of-run fetch forces completion
+# of every step (honest wall time); smaller windows just add host-roundtrip
+# overhead into the measurement (~5 ms/step through the axon tunnel at 10).
+SYNC_EVERY = int(os.environ.get("BENCH_SYNC_EVERY", 60))
 
 # peak dense-matmul TFLOP/s per chip (bf16), keyed by device_kind substring;
 # used for the MFU figure so the result stands independent of the
