@@ -182,7 +182,8 @@ def _run_windowed(step, state, x, alpha, window, iters=ITERS, warmup=WARMUP):
     t0 = time.perf_counter()
     for _ in range(n_windows):
         state, metrics, key = one(state, key)
-        loss = float(jax.device_get(metrics["gen/loss_adv"][-1]))
+    # single end fetch: windows chain through the donated state
+    loss = float(jax.device_get(metrics["gen/loss_adv"][-1]))
     dt = time.perf_counter() - t0
     assert loss == loss, "NaN loss in benchmark"
     return BATCH * window * n_windows / dt

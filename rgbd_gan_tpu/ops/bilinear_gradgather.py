@@ -77,16 +77,29 @@ def _corner_data(img, u, v, exact):
     w3 = (u1f - u_s) * (v_s - v0f) * mask
     w4 = (u_s - u0f) * (v_s - v0f) * mask
 
+    # (v0, v1) are adjacent columns, so ONE row-gather of a shifted *pair
+    # table* fetches both v-corners: pairs[i] = [flat[i], flat[i+1]]. The
+    # random-access fetch granularity is a full tile regardless of row
+    # width, so this halves the gather tiles; the table itself is one cheap
+    # sequential materialisation. jnp.take (row gather over a flat table)
+    # is the only formulation on XLA's fast TPU gather path — lax.gather
+    # with 2C-element slices lowered ~100x slower (as did take_along_axis
+    # in round 1). In-bounds points have v0 <= W-2 so the pair never
+    # crosses a row; masked points read index 0 and carry zero weights.
     flat = img.reshape(b * h * w, c)
+    pairs = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)  # (BHW, 2C)
     base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
 
-    def gather(uu, vv):
-        return jnp.take(flat, (base + uu * w + vv).reshape(-1), axis=0).reshape(b, n, c)
+    def gather_pair(uu):
+        out = jnp.take(pairs, (base + uu * w + v0).reshape(-1), axis=0)
+        out = out.reshape(b, n, 2 * c)
+        return out[..., :c], out[..., c:]
 
-    c00 = gather(u0, v0)
-    c10 = gather(u1, v0)
-    c01 = gather(u0, v1)
-    c11 = gather(u1, v1)
+    c00, c01 = gather_pair(u0)
+    if exact:
+        c10, c11 = c00, c01  # u1 == u0 (reference quirk)
+    else:
+        c10, c11 = gather_pair(u1)
     return (c00, c10, c01, c11), (w1, w2, w3, w4), (u0f, u1f, v0f, v1f, mask)
 
 
