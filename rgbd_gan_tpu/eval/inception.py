@@ -33,7 +33,14 @@ INPUT_SIZE = 299
 
 
 class ConvBN(nn.Module):
-    """conv (no bias) -> batch norm (inference stats) -> relu."""
+    """conv (no bias) -> batch norm (inference stats) -> relu.
+
+    He kernel init, NOT the flax default LeCun: converted real weights
+    override it anyway, but the random-init fallback must stay
+    scale-preserving through ~90 ReLU layers — under LeCun the activations
+    decay ~2x per layer, the pool features collapse to ~1e-4 and FID/IS
+    degenerate to exactly 0/1 for *any* pair of image sets.
+    """
 
     features: int
     kernel: Tuple[int, int] = (1, 1)
@@ -48,6 +55,7 @@ class ConvBN(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             use_bias=False,
+            kernel_init=nn.initializers.he_normal(),
             name="conv",
         )(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name="bn")(x)
