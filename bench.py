@@ -152,9 +152,11 @@ def _run(step, state, x, alpha, iters=ITERS, warmup=WARMUP):
     for i in range(iters):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
-        if (i + 1) % SYNC_EVERY == 0:
-            # forces completion of the whole chained window
-            loss = float(jax.device_get(metrics["gen/loss_adv"]))
+        if (i + 1) % SYNC_EVERY == 0 and (i + 1) < iters:
+            # optional mid-run sync (BENCH_SYNC_EVERY < iters)
+            float(jax.device_get(metrics["gen/loss_adv"]))
+    # final fetch always: forces completion of the whole chained run
+    loss = float(jax.device_get(metrics["gen/loss_adv"]))
     dt = time.perf_counter() - t0
     assert loss == loss, "NaN loss in benchmark"
     return BATCH * iters / dt
