@@ -240,7 +240,7 @@ def main():
     state2 = replicate(state2, mesh)
     xs = shard_batch(jax.device_get(x), mesh)
     alpha_r = replicate(alpha, mesh)
-    sharded_ips = _run(sharded_step, state2, xs, alpha_r, iters=30)
+    sharded_ips = _run(sharded_step, state2, xs, alpha_r)
     print(
         json.dumps(
             {
