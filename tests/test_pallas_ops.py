@@ -143,3 +143,24 @@ class TestOnehotRoute:
         v = jnp.asarray(rng.rand(1, 64).astype("f") * 6)
         du = jax.grad(lambda uu: jnp.sum(bilinear_gather_grad(img, uu, v, False)))(u)
         np.testing.assert_allclose(np.asarray(du[:, :8]), 0.0, atol=1e-7)
+
+
+class TestConvPallasPrototype:
+    """Experimental fused conv block (ops/conv_pallas.py) — parity only;
+    measured SLOWER than XLA's conv emitters at every GAN shape (see
+    ROADMAP), kept as a documented negative result."""
+
+    def test_forward_matches_xla(self):
+        from rgbd_gan_tpu.ops.conv_pallas import conv3x3_bias_lrelu
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 12, 8).astype("f"))
+        k = jnp.asarray(rng.randn(3, 3, 8, 16).astype("f") * 0.1)
+        b = jnp.asarray(rng.randn(16).astype("f"))
+        y = conv3x3_bias_lrelu(x, k, b, interpret=True)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
