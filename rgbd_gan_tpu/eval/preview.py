@@ -78,11 +78,23 @@ def render_preview_grid(
         mats = jnp.asarray(camera_matrices_np(theta))
 
     floor, alpha = decompose_stage(stage, config.max_stage or 17)
-    try:
-        x = gen_apply(jnp.asarray(z), floor, jnp.float32(alpha), theta9, mats)
-    except TypeError:
-        x = gen_apply(jnp.asarray(z), floor, jnp.float32(alpha), theta9)
-    x = np.asarray(x).transpose(0, 3, 1, 2)  # NHWC -> NCHW for the grid writer
+    # render in fixed-size chunks: one whole-grid forward OOMs HBM next to
+    # the live train state for the heavier generators (the DeepVoxels
+    # frustum volumes alone are ~30 MB/image); eval-mode forwards are
+    # per-sample independent, so chunking is output-identical
+    zs = jnp.asarray(z)
+    chunk = 16
+    outs = []
+    for i in range(0, zs.shape[0], chunk):
+        sl = slice(i, i + chunk)
+        t9 = None if theta9 is None else theta9[sl]
+        ms = None if mats is None else mats[sl]
+        try:
+            xi = gen_apply(zs[sl], floor, jnp.float32(alpha), t9, ms)
+        except TypeError:
+            xi = gen_apply(zs[sl], floor, jnp.float32(alpha), t9)
+        outs.append(np.asarray(xi))
+    x = np.concatenate(outs, axis=0).transpose(0, 3, 1, 2)  # NHWC -> NCHW
     return convert_batch_images(x, rows, cols)
 
 
