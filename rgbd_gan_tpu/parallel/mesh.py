@@ -86,8 +86,10 @@ def shard_train_step(step: Callable, mesh: Mesh) -> Callable:
         step,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(), P()),
+        # replication is CHECKED (check_vma defaults on): the step must
+        # return genuinely replicated state/metrics — grads/metrics pmean'd,
+        # the NaN flag pmax'd, deepvoxels batch_stats pmean'd (sync-BN)
         out_specs=(P(), P()),
-        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -101,7 +103,6 @@ def shard_windowed_step(wstep: Callable, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(P(), P(None, DATA_AXIS), P(), P()),
         out_specs=(P(), P()),
-        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

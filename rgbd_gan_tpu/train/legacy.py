@@ -24,7 +24,7 @@ from .ema import soft_copy_params
 from .losses import dis_adv_loss, dis_out_and_r1, downsize_real, gen_adv_loss
 from .optim import get_lr_scale_factor
 from .state import TrainState
-from .steps import StepSpec, _dis_apply, _pmean, _to_unit_range
+from .steps import StepSpec, _dis_apply, _pany, _pmean, _to_unit_range
 
 
 def loss_func_dsgan(x: jnp.ndarray, z: jnp.ndarray, theta: jnp.ndarray, tau: float = 10.0):
@@ -152,10 +152,9 @@ def make_legacy_train_step(
         metrics = {**gmetrics, **dmetrics}
         metrics["stage"] = jnp.float32(stage) + alpha
         metrics["image_size"] = jnp.float32(x_real.shape[1])
-        metrics["nan"] = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
-        metrics = {
-            k: (_pmean(v, spec.axis_name) if k != "nan" else v) for k, v in metrics.items()
-        }
+        nan = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
+        metrics = {k: _pmean(v, spec.axis_name) for k, v in metrics.items()}
+        metrics["nan"] = _pany(nan, spec.axis_name)
         new_state = TrainState(
             params_gen=params_gen,
             params_dis=params_dis,

@@ -74,6 +74,18 @@ def _pmean(tree, axis_name):
     return jax.lax.pmean(tree, axis_name)
 
 
+def _pany(flag, axis_name):
+    """Logical-any of a boolean flag over the data axis.
+
+    The NaN guard must trip if ANY device saw a non-finite loss, and the
+    result must be replicated so the sharded step's ``P()`` out_spec is
+    honest under shard_map's replication checker (bool pmean is ill-typed,
+    hence pmax of the 0/1 float)."""
+    if axis_name is None:
+        return flag
+    return jax.lax.pmax(flag.astype(jnp.float32), axis_name) > 0
+
+
 def _to_unit_range(x_real_full: jnp.ndarray) -> jnp.ndarray:
     """uint8 batches normalise on device — same arithmetic as the host
     pipeline (``data/dataset.py``: x/127.5 - 1 in f32), shipped at 1/4 the
@@ -279,8 +291,12 @@ def make_rgbd_train_step(
                 loss = loss - loss_rf
                 if not spec.sn and spec.lambda_gp > 0:
                     def feat_sum(xf):
+                        # uses sn2 — the freshest SN state at this point in the
+                        # phase; the power-iteration vectors depend only on the
+                        # weights so sn1 would give identical numbers today, but
+                        # threading must stay monotone through the step
                         (_, f), _ = _dis_apply(
-                            dis, params_dis, sn1, xf, stage, alpha, return_hidden=True
+                            dis, params_dis, sn2, xf, stage, alpha, return_hidden=True
                         )
                         return jnp.sum(f)
 
@@ -303,10 +319,9 @@ def make_rgbd_train_step(
         metrics = {**gen_metrics, **dis_metrics}
         metrics["stage"] = jnp.float32(stage) + alpha
         metrics["image_size"] = jnp.float32(image_size)
-        metrics["nan"] = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
-        metrics = {
-            k: (_pmean(v, spec.axis_name) if k != "nan" else v) for k, v in metrics.items()
-        }
+        nan = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
+        metrics = {k: _pmean(v, spec.axis_name) for k, v in metrics.items()}
+        metrics["nan"] = _pany(nan, spec.axis_name)
 
         new_state = TrainState(
             params_gen=params_gen,
@@ -444,10 +459,9 @@ def make_rgb_train_step(
         metrics = {**gen_metrics, **dis_metrics}
         metrics["stage"] = jnp.float32(stage) + alpha
         metrics["image_size"] = jnp.float32(image_size)
-        metrics["nan"] = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
-        metrics = {
-            k: (_pmean(v, spec.axis_name) if k != "nan" else v) for k, v in metrics.items()
-        }
+        nan = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
+        metrics = {k: _pmean(v, spec.axis_name) for k, v in metrics.items()}
+        metrics["nan"] = _pany(nan, spec.axis_name)
 
         new_state = TrainState(
             params_gen=params_gen,

@@ -40,7 +40,7 @@ from ..models.deepvoxels import PROJECTION_INTRINSIC
 from .ema import soft_copy_params
 from .losses import dis_adv_loss, dis_out_and_r1, gen_adv_loss
 from .state import TrainState
-from .steps import StepSpec, _dis_apply, _pmean, _to_unit_range
+from .steps import StepSpec, _dis_apply, _pany, _pmean, _to_unit_range
 
 DEEPVOXELS_STAGE = 8  # floor of the pinned 8.5
 IMG_SIZE = 64
@@ -207,10 +207,20 @@ def make_deepvoxels_train_step(
         metrics = {**gen_metrics, **dis_metrics}
         metrics["stage"] = jnp.float32(8.5)
         metrics["image_size"] = jnp.float32(IMG_SIZE)
-        metrics["nan"] = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
-        metrics = {
-            k: (_pmean(v, spec.axis_name) if k != "nan" else v) for k, v in metrics.items()
-        }
+        nan = jnp.logical_or(jnp.isnan(loss_gen), jnp.isnan(loss_dis))
+        metrics = {k: _pmean(v, spec.axis_name) for k, v in metrics.items()}
+        metrics["nan"] = _pany(nan, spec.axis_name)
+
+        # sync-BN policy for the occlusion nets' BatchNorm running stats:
+        # each device's forwards update its own copy from its own batch, so
+        # the collection is device-varying here; pmean-ing it makes the
+        # returned state genuinely replicated (the P() out_spec in
+        # parallel/mesh.py is checked, not assumed). The reference never
+        # synced BN across ranks (ChainerMN, train_rgbd.py:106) — per-rank
+        # running stats there were an accident of distribution, and they only
+        # feed eval-mode BN, so the cross-device mean is the well-defined
+        # TPU-native choice (documented divergence).
+        gen_state = _pmean(gen_state, spec.axis_name)
 
         new_state = TrainState(
             params_gen=params_gen,

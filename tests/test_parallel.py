@@ -97,6 +97,20 @@ class TestShardedStep:
         for a, b in zip(la, lb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_nan_guard_is_any_over_devices(self):
+        """The pmax'd nan flag must trip when any single device sees a
+        non-finite loss (and be identical on every device shard)."""
+        mesh = make_mesh()
+        state, step = _build(DATA_AXIS)
+        fn = shard_train_step(step, mesh)
+        x = np.random.RandomState(0).uniform(
+            -1, 1, (8 * LOCAL_BATCH, 32, 32, 3)
+        ).astype(np.float32)
+        x[:LOCAL_BATCH] = np.nan  # poison device 0's shard only
+        _, metrics = fn(replicate(state, mesh), shard_batch(x, mesh),
+                        jnp.float32(0.0), jax.random.PRNGKey(4))
+        assert bool(metrics["nan"])
+
     def test_devices_draw_different_latents(self):
         """Folded keys must decorrelate per-device pose/latent draws: with 8
         devices the per-device rotate losses differ, so the pmean'd loss
@@ -118,3 +132,63 @@ class TestShardedStep:
         assert float(m8["gen/loss_rotate"]) != pytest.approx(
             float(m1["gen/loss_rotate"]), rel=1e-6
         )
+
+
+def _assert_shards_identical(tree, what):
+    """Every leaf of a replicated output must hold the SAME value on every
+    device — the numeric counterpart of the shard_map replication check."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert leaves, f"{what} has no leaves"
+    for leaf in leaves:
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        assert len(shards) == jax.device_count()
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s, err_msg=what)
+
+
+class TestMeshAllArchitectures:
+    """Full-trainer DP coverage for every architecture with carried state
+    collections (VERDICT r2 #1): deepvoxels BatchNorm batch_stats (sync-BN
+    policy) and the SN discriminator's power-iteration state must come back
+    genuinely replicated from the sharded step."""
+
+    def test_deepvoxels_mesh_bn_stats_replicated(self, tmp_path):
+        from test_deepvoxels_trainer import dv_config
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        config = dv_config(
+            tmp_path, occlusion_type="deepvoxels", use_mpi=True,
+            batchsize=16, iteration=1, snapshot_interval=100, ch=16,
+        )
+        data = synthetic_dataset(16, 64)
+        t = Trainer(config, dataset=data, seed=0)
+        assert t.use_mesh and t.local_batch == 2
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(jax.device_get(t.state.iteration)) == 1
+        assert np.isfinite(rows[-1]["gen/loss_adv"])
+        assert t.state.gen_state is not None
+        _assert_shards_identical(t.state.gen_state, "deepvoxels batch_stats")
+        _assert_shards_identical(t.state.params_gen, "deepvoxels params_gen")
+
+    def test_stylegan_sn_mesh_sn_state_replicated(self, tmp_path):
+        from test_trainer import tiny_config
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        config = tiny_config(
+            tmp_path, generator_architecture="stylegan", sn=True,
+            rotate_feature=True, use_mpi=True, batchsize=16, iteration=1,
+            snapshot_interval=100,
+        )
+        data = synthetic_dataset(16, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        assert t.use_mesh and t.local_batch == 2
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(jax.device_get(t.state.iteration)) == 1
+        assert np.isfinite(rows[-1]["gen/loss_adv"])
+        assert t.state.sn_state is not None
+        _assert_shards_identical(t.state.sn_state, "stylegan sn state")
+        _assert_shards_identical(t.state.params_dis, "stylegan params_dis")
