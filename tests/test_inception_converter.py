@@ -51,40 +51,61 @@ def template_flat():
     return _flatten(variables)
 
 
-def synthesize_graphdef(template_flat, rng, eps=inception.BN_EPS):
-    """A GraphDef carrying random consts under every TF name the converter
-    reads, shaped per the flax template."""
-    blob = b""
+def synthesize_consts(template_flat, rng):
+    """Random-but-sane const tensors under every TF name the real graph
+    carries, shaped per the flax template: name -> np.float32 array.
+
+    Conv kernels are He-scaled so a ~96-layer forward neither explodes nor
+    collapses (the forward-parity test runs the full net on these)."""
+    consts = {}
     for tf_scope, path in inception.iter_conv_mappings():
         k = template_flat[f"params/{path}/conv/kernel"]
-        blob += gd.encode_const_node(
-            f"{tf_scope}/conv2d_params", rng.normal(size=k.shape).astype(np.float32)
-        )
+        fan_in = int(np.prod(k.shape[:3]))
+        consts[f"{tf_scope}/conv2d_params"] = (
+            rng.normal(size=k.shape) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
         bn = f"{tf_scope}/batchnorm"
         c = k.shape[-1]
-        for tf_name in ["gamma", "beta", "moving_mean", "moving_variance"]:
-            blob += gd.encode_const_node(
-                f"{bn}/{tf_name}", rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32)
-            )
+        consts[f"{bn}/gamma"] = rng.uniform(0.8, 1.2, size=(c,)).astype(np.float32)
+        consts[f"{bn}/beta"] = (rng.normal(size=(c,)) * 0.1).astype(np.float32)
+        consts[f"{bn}/moving_mean"] = (rng.normal(size=(c,)) * 0.1).astype(np.float32)
+        consts[f"{bn}/moving_variance"] = rng.uniform(0.5, 1.5, size=(c,)).astype(
+            np.float32
+        )
+    consts["softmax/weights"] = rng.normal(
+        size=(inception.FEATURE_DIM, inception.NUM_LOGITS)
+    ).astype(np.float32)
+    consts["softmax/biases"] = rng.normal(size=(inception.NUM_LOGITS,)).astype(
+        np.float32
+    )
+    return consts
+
+
+def synthesize_graphdef(template_flat, rng, eps=inception.BN_EPS):
+    """A GraphDef carrying random consts under every TF name the converter
+    reads, shaped per the flax template. Returns (blob, logit_w, logit_b,
+    consts)."""
+    consts = synthesize_consts(template_flat, rng)
+    blob = b""
+    for name, arr in consts.items():
+        blob += gd.encode_const_node(name, arr)
+    for tf_scope, _ in inception.iter_conv_mappings():
+        bn = f"{tf_scope}/batchnorm"
         blob += gd.encode_node(
             bn, "BatchNormWithGlobalNormalization",
             inputs=[f"{tf_scope}/Conv2D", f"{bn}/moving_mean", f"{bn}/moving_variance",
                     f"{bn}/beta", f"{bn}/gamma"],
             float_attrs={"variance_epsilon": eps},
         )
-    w = rng.normal(size=(inception.FEATURE_DIM, inception.NUM_LOGITS)).astype(np.float32)
-    b = rng.normal(size=(inception.NUM_LOGITS,)).astype(np.float32)
-    blob += gd.encode_const_node("softmax/weights", w)
-    blob += gd.encode_const_node("softmax/biases", b)
     blob += gd.encode_node("softmax/logits/MatMul", "MatMul",
                            inputs=["pool_3/reshape:0", "softmax/weights:0"])
-    return blob, w, b
+    return blob, consts["softmax/weights"], consts["softmax/biases"], consts
 
 
 class TestConverter:
     def test_full_conversion_roundtrip(self, template_flat, tmp_path):
         rng = np.random.RandomState(0)
-        blob, w, b = synthesize_graphdef(template_flat, rng)
+        blob, w, b, _ = synthesize_graphdef(template_flat, rng)
         pb = tmp_path / "classify_image_graph_def.pb"
         pb.write_bytes(blob)
         out = tmp_path / "inception.npz"
@@ -112,7 +133,7 @@ class TestConverter:
 
     def test_eps_mismatch_warns(self, template_flat, tmp_path):
         rng = np.random.RandomState(1)
-        blob, _, _ = synthesize_graphdef(template_flat, rng, eps=1e-5)
+        blob, _, _, _ = synthesize_graphdef(template_flat, rng, eps=1e-5)
         pb = tmp_path / "g.pb"
         pb.write_bytes(blob)
         with pytest.warns(UserWarning, match="variance_epsilon"):
@@ -121,7 +142,7 @@ class TestConverter:
     def test_missing_const_raises(self, template_flat, tmp_path):
         # drop the logit weight: conversion must fail loudly, not silently
         rng = np.random.RandomState(2)
-        blob, _, _ = synthesize_graphdef(template_flat, rng)
+        blob, _, _, _ = synthesize_graphdef(template_flat, rng)
         # rebuild without softmax nodes
         blob2 = b""
         for tf_scope, path in inception.iter_conv_mappings():
@@ -149,3 +170,29 @@ class TestConverter:
             if k.startswith("params/") and k.endswith("/conv/kernel")
         }
         assert mapped == model_convs
+
+
+def test_tool_extracts_pb_from_tgz(template_flat, tmp_path):
+    """tools/convert_inception.py accepts the tarball the reference
+    downloads (download.py:33: inception-2015-12-05.tgz)."""
+    import sys
+    import tarfile
+
+    sys.path.insert(0, "tools")
+    from convert_inception import PB_NAME, extract_pb
+
+    rng = np.random.RandomState(3)
+    blob, _, _, _ = synthesize_graphdef(template_flat, rng)
+    pb = tmp_path / PB_NAME
+    pb.write_bytes(blob)
+    tgz = tmp_path / "inception-2015-12-05.tgz"
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(pb, arcname=PB_NAME)
+
+    workdir = tmp_path / "work"
+    workdir.mkdir()
+    out_pb = extract_pb(str(tgz), str(workdir))
+    assert open(out_pb, "rb").read() == blob
+    # and the extracted file converts cleanly
+    flat = inception.convert_tf_checkpoint(out_pb, str(tmp_path / "o.npz"))
+    assert "params/logit/kernel" in flat
