@@ -112,11 +112,31 @@ class TestAuxLosses:
 
 
 class TestGoldenStepValues:
-    """Fixed-seed regression pin: the minimum-slice step must reproduce these
-    loss values exactly (guards against silent numeric drift; regenerate
-    deliberately if semantics change)."""
+    """Fixed-seed regression pins: each pinned config's first train step must
+    reproduce these loss values exactly (guards against silent numeric drift;
+    regenerate deliberately per CLAUDE.md if semantics change).
 
-    def test_first_step_losses(self):
+    Three pinned configs (VERDICT round-2 #6): the DCGAN minimum slice, the
+    stylegan + spectral-norm + rotate_feature + occupancy step, and the
+    deepvoxels step with the background generator."""
+
+    def _check_pin(self, name, got):
+        import json, os
+
+        pin_path = os.path.join(os.path.dirname(__file__), "golden_step_values.json")
+        pins = {}
+        if os.path.exists(pin_path):
+            with open(pin_path) as f:
+                pins = json.load(f)
+        if name not in pins:
+            pins[name] = got
+            with open(pin_path, "w") as f:
+                json.dump(pins, f, indent=1, sort_keys=True)
+            pytest.skip(f"golden values for {name!r} regenerated; rerun to compare")
+        for k, v in pins[name].items():
+            assert got[k] == pytest.approx(v, rel=5e-4), f"{name}:{k}"
+
+    def test_dcgan_first_step_losses(self):
         import test_train_step as tts
 
         gen, dis, state, step = tts._build_dcgan()
@@ -128,15 +148,50 @@ class TestGoldenStepValues:
             k: float(metrics[k])
             for k in ["gen/loss_adv", "gen/loss_rotate", "dis/loss_adv", "dis/loss_gp"]
         }
-        # pinned from the current implementation (f32, CPU)
-        import json, os
+        self._check_pin("dcgan", got)
 
-        pin_path = os.path.join(os.path.dirname(__file__), "golden_step_values.json")
-        if not os.path.exists(pin_path):
-            with open(pin_path, "w") as f:
-                json.dump(got, f, indent=1)
-            pytest.skip("golden values regenerated; rerun to compare")
-        with open(pin_path) as f:
-            want = json.load(f)
-        for k, v in want.items():
-            assert got[k] == pytest.approx(v, rel=5e-4), k
+    def _trainer_first_step(self, config, data_size):
+        """One production-Trainer iteration on fixed-seed synthetic data."""
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        data = synthetic_dataset(8, data_size)
+        t = Trainer(config, dataset=data, seed=0)
+        rows = []
+        t.run(log_cb=rows.append)
+        return rows[-1]
+
+    def test_stylegan_sn_rotate_occupancy_first_step_losses(self, tmp_path):
+        from test_trainer import tiny_config
+
+        config = tiny_config(
+            tmp_path, generator_architecture="stylegan", sn=True,
+            rotate_feature=True, use_occupancy_net_loss=True,
+            lambda_occupancy=0.5, iteration=2, keep_smoothed_gen=False,
+            snapshot_interval=100, start_occlusion_aware=0,
+        )
+        # pin the SECOND step: use_rotate (and with it the occupancy and
+        # rotate_feature terms) engages at iteration > start_rotation
+        row = self._trainer_first_step(config, 32)
+        got = {
+            k: float(row[k])
+            for k in ["gen/loss_adv", "gen/loss_rotate", "gen/loss_occupancy",
+                      "dis/loss_adv"]
+        }
+        self._check_pin("stylegan_sn_rotate_occupancy", got)
+
+    def test_deepvoxels_background_first_step_losses(self, tmp_path):
+        from test_deepvoxels_trainer import dv_config
+
+        config = dv_config(
+            tmp_path, background_generator=True, occlusion_type="deepvoxels",
+            iteration=2, snapshot_interval=100, ch=16,
+        )
+        # second step: the rotate loss engages at iteration > start_rotation
+        row = self._trainer_first_step(config, 64)
+        got = {
+            k: float(row[k])
+            for k in ["gen/loss_adv", "gen/loss_rotate", "dis/loss_adv",
+                      "dis/loss_gp"]
+        }
+        self._check_pin("deepvoxels_background", got)
