@@ -35,6 +35,14 @@ import jax.numpy as jnp
 
 REFERENCE_IMAGES_PER_SEC = 45.0  # estimated Chainer-GPU (V100) throughput
 
+# DeepVoxels denominator: the parity-exact gather/scatter formulation of the
+# same production step (the straight transcription of the reference's
+# trilinear scatter, deepvoxel/deepvoxel.py:388-428) measures 992-1000 ms at
+# batch 10 on this chip (PARITY.md round-1) = ~10 img/s; the Chainer/CuPy
+# original publishes nothing and runs the identical algorithm, so this is
+# the conservative stand-in baseline.
+REFERENCE_DV_IMAGES_PER_SEC = 10.0
+
 CH = int(os.environ.get("BENCH_CH", 256))
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 STAGE = int(os.environ.get("BENCH_STAGE", 10))  # 10 = 128x128
@@ -191,6 +199,44 @@ def _run_windowed(step, state, x, alpha, window, iters=ITERS, warmup=WARMUP):
     return BATCH * window * n_windows / dt
 
 
+def _bench_deepvoxels(iters: int = 15, warmup: int = 3):
+    """Time the DeepVoxels production train step from the shipped config
+    (deepvoxels_shapenet_car.yml: batch 10, ch=256, 64px) on synthetic data.
+    Returns (images_per_sec, ms_per_step, batch)."""
+    import tempfile
+
+    from rgbd_gan_tpu.core.config import load_config
+    from rgbd_gan_tpu.data.dataset import synthetic_dataset
+    from rgbd_gan_tpu.train.trainer import Trainer
+
+    config = load_config("configs/deepvoxels_shapenet_car.yml")
+    config.out = tempfile.mkdtemp(prefix="bench_dv_")
+    config.iteration = 1
+    for k in ("snapshot_interval", "evaluation_sample_interval", "display_interval"):
+        setattr(config, k, 10**9)
+    data = synthetic_dataset(32, 64)
+    t = Trainer(config, dataset=data, seed=0)
+    step = t._compiled_step(t._spec_for(iteration=10, stage_floor=8))
+    state = t.state
+    x = jnp.asarray(t.iterator.next())
+    alpha = jnp.float32(0.5)
+    batch = int(x.shape[0])
+
+    key = jax.random.PRNGKey(10)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, x, alpha, k)
+        float(jax.device_get(metrics["gen/loss_adv"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, x, alpha, k)
+    loss = float(jax.device_get(metrics["gen/loss_adv"]))  # chained: one fetch
+    dt = (time.perf_counter() - t0) / iters
+    assert loss == loss, "NaN loss in deepvoxels benchmark"
+    return batch / dt, dt * 1000.0, batch
+
+
 def main():
     mixed16 = os.environ.get("BENCH_F32", "") != "1"
     window = int(os.environ.get("BENCH_WINDOW", "0"))
@@ -226,6 +272,23 @@ def main():
             }
         )
     )
+
+    if os.environ.get("BENCH_SKIP_DEEPVOXELS", "") != "1":
+        dv_ips, dv_ms, dv_batch = _bench_deepvoxels()
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"deepvoxels 64x64 G+D train images/sec/chip "
+                        f"(production step, batch={dv_batch}, lift_mode default)"
+                    ),
+                    "value": round(dv_ips, 2),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(dv_ips / REFERENCE_DV_IMAGES_PER_SEC, 2),
+                    "ms_per_step": round(dv_ms, 1),
+                }
+            )
+        )
 
     if os.environ.get("BENCH_SKIP_SHARDED", "") == "1":
         return

@@ -61,3 +61,34 @@ class TestBF16Generator:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         # grads land in f32 (master weights stay full precision)
         assert all(np.asarray(l).dtype == np.float32 for l in leaves)
+
+
+class TestBF16DeepVoxels:
+    def test_deepvoxels_mixed16_step_finite_and_close(self, tmp_path):
+        """mixed16: True runs the voxel stack / refiner / D in bf16 (the
+        frustum lift + occlusion reasoning stay f32 — models/deepvoxels.py
+        docstring); one production step must stay finite and land near the
+        f32 step on the same seed."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_deepvoxels_trainer import dv_config
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        losses = {}
+        for mixed16 in (False, True):
+            # iteration=2: the rotate loss only engages from the second step
+            # (start_rotation=0 -> use_rotate when iteration > 1)
+            config = dv_config(
+                tmp_path, iteration=2, ch=16, snapshot_interval=100,
+                mixed16=mixed16, out=str(tmp_path / f"out{int(mixed16)}"),
+            )
+            data = synthetic_dataset(8, 64)
+            t = Trainer(config, dataset=data, seed=0)
+            row = t.run()
+            for k in ("gen/loss_adv", "dis/loss_adv", "gen/loss_rotate"):
+                assert np.isfinite(row[k]), (mixed16, k)
+            losses[mixed16] = row["gen/loss_adv"]
+        # bf16 trunk, identical seed/params: adversarial loss in the same
+        # ballpark (softplus logits; bf16 conv drift stays bounded)
+        assert abs(losses[True] - losses[False]) < 0.5 * abs(losses[False]) + 0.2

@@ -5,7 +5,9 @@ Builds the full trainer from ``configs/deepvoxels_shapenet_car.yml`` on
 synthetic data and times the compiled step with the chained-state
 host-fetch method (bench.py semantics).
 
-Usage: python tools/bench_deepvoxels.py [lift_mode ...]   (default: gather pallas)
+Usage: python tools/bench_deepvoxels.py [mode ...]   (default: gather pallas)
+A mode is a lift_mode, optionally with a ":m16" suffix to run the bf16
+mixed-precision trunk (config mixed16: True), e.g. "pallas:m16".
 """
 
 import sys
@@ -21,16 +23,18 @@ WARMUP = 3
 SYNC_EVERY = 5
 
 
-def time_mode(lift_mode: str) -> float:
+def time_mode(mode: str) -> float:
     import tempfile
 
     from rgbd_gan_tpu.core.config import load_config
     from rgbd_gan_tpu.data.dataset import synthetic_dataset
     from rgbd_gan_tpu.train.trainer import Trainer
 
+    lift_mode, _, suffix = mode.partition(":")
     config = load_config("configs/deepvoxels_shapenet_car.yml")
     config.out = tempfile.mkdtemp(prefix=f"dv_bench_{lift_mode}_")
     config.lift_mode = lift_mode
+    config.mixed16 = suffix == "m16"
     config.iteration = 1
     config.snapshot_interval = 10**9
     config.evaluation_sample_interval = 10**9
