@@ -56,6 +56,47 @@ class TestTrilinearPallas:
         out = trilinear_lift_pallas(voxel, vox, ib, interpret=True)
         np.testing.assert_allclose(np.asarray(out), 0.0)
 
+    def test_grad_all_masked_tile_is_zero(self):
+        """A fully out-of-frustum point tile must produce an exactly-zero dV
+        (the backward kernel SKIPS the MXU contraction for such tiles — and
+        the first grid step's zero-init must still land)."""
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N, trilinear_lift
+
+        rng = np.random.RandomState(3)
+        b, c = 1, 4
+        voxel = jnp.asarray(rng.rand(b, GRID_DIM, GRID_DIM, GRID_DIM, c).astype("f"))
+        vox = jnp.full((b, 3, TILE_N), -7.0)
+        ib = jnp.zeros((b, TILE_N), bool)
+        cot = jnp.asarray(rng.rand(b, TILE_N, c).astype("f"))
+        dv = jax.grad(lambda v: jnp.sum(trilinear_lift(v, vox, ib, True) * cot))(voxel)
+        np.testing.assert_allclose(np.asarray(dv), 0.0)
+
+    def test_grad_mixed_masked_and_valid_tiles(self):
+        """Masked tile first, valid tile second: the skipped first tile must
+        not clobber the second tile's accumulation (zero-init ordering)."""
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N, trilinear_lift
+
+        rng = np.random.RandomState(4)
+        b, c = 1, 4
+        voxel = jnp.asarray(rng.rand(b, GRID_DIM, GRID_DIM, GRID_DIM, c).astype("f"))
+        vox_valid = jnp.asarray(
+            rng.uniform(0.5, GRID_DIM - 1.5, size=(b, 3, TILE_N)).astype("f")
+        )
+        vox = jnp.concatenate([jnp.full((b, 3, TILE_N), -7.0), vox_valid], axis=2)
+        ib = jnp.concatenate(
+            [jnp.zeros((b, TILE_N), bool), jnp.ones((b, TILE_N), bool)], axis=1
+        )
+        cot = jnp.asarray(rng.rand(b, 2 * TILE_N, c).astype("f"))
+
+        dv = jax.grad(lambda v: jnp.sum(trilinear_lift(v, vox, ib, True) * cot))(voxel)
+        # reference: only the valid tile contributes
+        dv_ref = jax.grad(
+            lambda v: jnp.sum(
+                trilinear_lift(v, vox_valid, ib[:, TILE_N:], True) * cot[:, TILE_N:]
+            )
+        )(voxel)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
+
     def test_grad_matches_gather_lift(self):
         """Custom-VJP dV == autodiff of the dense gather lift (interpret)."""
         from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N, trilinear_lift
