@@ -12,10 +12,16 @@ than a flat plane:
 2. ``silhouette_depth_corr`` — Pearson correlation per frame between the RGB
    foreground silhouette (luminance above background) and inverse depth
    (objects sit CLOSER than background => positive correlation).
-3. ``sweep_consistency`` — across the sweep, foreground mean depth must stay
-   in a sane band (non-degenerate) while the depth map *changes* with yaw
-   (it tracks the camera, not a constant texture): mean per-pixel depth
-   variance across yaw steps, normalised.
+3. ``fg_radial_depth_corr`` — within the foreground, Pearson correlation
+   between distance-from-centroid and (non-inverse) depth: a convex object
+   seen head-on has its rim FARTHER than its center (>0 for real geometry;
+   ~0 for depth painted as flat or as texture).
+4. ``sweep_depth_change`` — per-pixel depth variance across the yaw sweep,
+   normalised by within-frame spread. Reported as a *diagnostic only*: for
+   a rotationally-symmetric object (the sphere dataset) the CORRECT depth
+   is yaw-invariant, so a low value together with a high silhouette
+   correlation is evidence of pose-consistent geometry, not of a frozen
+   head (a frozen/flat head is caught by metric 1).
 
 Prints one JSON line with the metrics and pass/fail against thresholds, and
 writes a sweep strip png (RGB row + inverse-depth row).
@@ -96,15 +102,35 @@ def structure_metrics(sweep):
     cov = ((f - fm) * (d - dm)).mean(axis=(2, 3))
     corr = cov / (f.std(axis=(2, 3)) * d.std(axis=(2, 3)) + 1e-9)
 
-    # depth must CHANGE across the sweep (per-pixel variance over yaw),
-    # normalised by the within-frame spread so a flat-but-drifting head
-    # cannot pass
+    # radial depth profile inside the foreground: for a convex object the
+    # rim must sit farther than the center. Per-frame corr(radius, depth)
+    # over fg pixels, weighted by fg size.
+    h, w = lum.shape[2:]
+    yy, xx = np.mgrid[0:h, 0:w]
+    radial_corrs = []
+    depth = np.clip(sweep[..., 3], 1e-3, 1e3)
+    for i in range(sweep.shape[0]):
+        for j in range(sweep.shape[1]):
+            m = fg[i, j]
+            if m.sum() < 16:
+                continue
+            cy, cx = yy[m].mean(), xx[m].mean()
+            r = np.sqrt((yy[m] - cy) ** 2 + (xx[m] - cx) ** 2)
+            d = depth[i, j][m]
+            if r.std() < 1e-6 or d.std() < 1e-9:
+                continue
+            radial_corrs.append(np.corrcoef(r, d)[0, 1])
+    radial = float(np.mean(radial_corrs)) if radial_corrs else 0.0
+
+    # diagnostic: per-pixel depth variance across yaw over within-frame
+    # spread (LOW for a pose-consistent rotationally-symmetric object)
     var_over_yaw = inv_depth.std(axis=0).mean()
     within = inv_depth.std(axis=(2, 3)).mean() + 1e-9
 
     return {
         "depth_relative_spread": float(spread.mean()),
         "silhouette_depth_corr": float(corr.mean()),
+        "fg_radial_depth_corr": radial,
         "sweep_depth_change": float(var_over_yaw / within),
     }
 
@@ -134,7 +160,7 @@ def main():
     p.add_argument("--out", default=None, help="sweep strip png path")
     p.add_argument("--min_spread", type=float, default=0.05)
     p.add_argument("--min_corr", type=float, default=0.2)
-    p.add_argument("--min_change", type=float, default=0.15)
+    p.add_argument("--min_radial", type=float, default=0.1)
     args = p.parse_args()
 
     from rgbd_gan_tpu.core.config import load_config
@@ -154,7 +180,7 @@ def main():
     m["pass"] = bool(
         m["depth_relative_spread"] > args.min_spread
         and m["silhouette_depth_corr"] > args.min_corr
-        and m["sweep_depth_change"] > args.min_change
+        and m["fg_radial_depth_corr"] > args.min_radial
     )
     if args.out:
         save_strip(sweep, args.out)
