@@ -157,6 +157,13 @@ def _dimg_onehot_pass(u, v, gbar, h, w, exact, chunk):
         return acc, None
 
     acc0 = jnp.zeros((b, h, w * c), jnp.float32)
+    # under shard_map with replication checking, the freshly-created zero
+    # carry is device-invariant while the body output varies over the data
+    # axis — cast the init to the cotangent's varying axes so the scan
+    # carry types agree (no-op outside shard_map, where vma is empty)
+    vma = getattr(jax.typeof(gbar), "vma", frozenset())
+    if vma:
+        acc0 = jax.lax.pcast(acc0, tuple(vma), to="varying")
     acc, _ = jax.lax.scan(body, acc0, (u_c, v_c, g_c))
     return acc.reshape(b, h, w, c).astype(gbar.dtype)
 

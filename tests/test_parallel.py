@@ -30,7 +30,7 @@ def _prior():
     )
 
 
-def _build(axis_name):
+def _build(axis_name, gather_mode="xla"):
     gen = DCGANGenerator(in_ch=CH, ch=CH * 2, rgbd=True)
     dis = Discriminator(ch=CH, res=True)
     z = dcgan_make_hidden(jax.random.PRNGKey(0), LOCAL_BATCH, CH)
@@ -43,6 +43,7 @@ def _build(axis_name):
     spec = StepSpec(
         architecture="dcgan", stage_floor=6, batch_size=LOCAL_BATCH,
         use_rotate=True, lambda_geometric=1.0, axis_name=axis_name,
+        gather_mode=gather_mode,
     )
     state = TrainState(
         params_gen=params_gen, params_dis=params_dis, opt_map=None,
@@ -74,6 +75,26 @@ class TestShardedStep:
         # second step composes
         new_state, metrics = fn(new_state, x, jnp.float32(0.0), jax.random.PRNGKey(5))
         assert int(new_state.iteration) == 2
+
+    def test_hybrid_gather_route_runs_sharded(self):
+        """The TPU-default 'hybrid' 3D-consistency route (custom-VJP scan
+        accumulator, ops/bilinear_gradgather.py) must compile through the
+        replication-CHECKED sharded step: the scan's zero-init carry is
+        device-invariant while the body output varies over the data axis,
+        which the vma checker rejects without the explicit pcast
+        (regression: round-3 sharded bench crash)."""
+        mesh = make_mesh()
+        state, step = _build(DATA_AXIS, gather_mode="hybrid")
+        fn = shard_train_step(step, mesh)
+        state = replicate(state, mesh)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (8 * LOCAL_BATCH, 32, 32, 3), minval=-1, maxval=1
+        )
+        new_state, metrics = fn(state, shard_batch(x, mesh), jnp.float32(0.0),
+                                jax.random.PRNGKey(4))
+        assert not bool(metrics["nan"])
+        assert np.isfinite(float(metrics["gen/loss_rotate"]))
+        assert int(new_state.iteration) == 1
 
     def test_one_device_mesh_matches_unsharded(self):
         """shard_map on a 1-device mesh == plain jit with the axis fold applied."""
