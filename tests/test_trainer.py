@@ -349,6 +349,23 @@ class TestConfigFlagMatrix:
         if flags.get("sn"):
             assert t.state.sn_state is not None
             assert "dis/loss_gp" not in rows[-1]  # GP skipped under SN
+            # SN threading must be monotone through the step: the returned
+            # state is the LAST power-iteration update of the D phase, so it
+            # must advance again on a second step (a stale sn1 read anywhere
+            # in the chain would freeze or fork the threaded state)
+            before = jax.tree_util.tree_leaves(t.state.sn_state)
+            t2cfg = tiny_config(
+                tmp_path, iteration=2, keep_smoothed_gen=False,
+                snapshot_interval=100, start_rotation=0,
+                start_occlusion_aware=0, auto_resume=True, **flags,
+            )
+            t2 = Trainer(t2cfg, dataset=data, seed=0)
+            t2.run(log_cb=lambda r: None)
+            after = jax.tree_util.tree_leaves(t2.state.sn_state)
+            assert any(
+                not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(before, after)
+            ), "sn power-iteration state did not advance across steps"
         if flags.get("use_occupancy_net_loss"):
             # rotate engages at it>0 only; occupancy rides with it, so at
             # iteration 1 (it=0) it is absent — run one more to see it
