@@ -62,6 +62,11 @@ class StepSpec:
     lambda_rotate: float = 2.0
     lambda_occupancy: float = 1.0
     style_mixing_rate: float = 0.0
+    # lazy R1 (StyleGAN2 §5.1): apply the gradient penalty every k-th step
+    # with weight ×k. 1 = reference-exact semantics (penalty every step,
+    # updater.py:407-437); >1 is an opt-in throughput knob — skip steps run
+    # one plain D(x_real) forward instead of the grad-of-grad chain.
+    r1_interval: int = 1
     exact_bilinear: bool = True
     gather_mode: str = "xla"  # 'xla' | 'onehot' | 'hybrid' | 'pallas' (warp.bilinear_sample)
     axis_name: Optional[str] = None
@@ -258,12 +263,26 @@ def make_rgbd_train_step(
                 # one shared D(x_real) forward feeds both the adversarial
                 # term and the R1 penalty, like the reference's graph reuse
                 x_r1 = x_real.astype(r1_dtype) if r1_dtype else x_real
-                y_real, gp_raw = dis_out_and_r1(
-                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_r1
-                )
+                d_real = lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0]
+                if spec.r1_interval > 1:
+                    # lazy R1: only the taken cond branch executes on TPU, so
+                    # skip steps pay one plain D(x_real) forward instead of
+                    # the forward+tangent+double-backward chain
+                    def _with_gp(xr):
+                        y, g = dis_out_and_r1(d_real, xr)
+                        return y, spec.lambda_gp * spec.r1_interval * g
+
+                    y_real, gp = jax.lax.cond(
+                        state.iteration % spec.r1_interval == 0,
+                        _with_gp,
+                        lambda xr: (d_real(xr), jnp.float32(0.0)),
+                        x_r1,
+                    )
+                else:
+                    y_real, gp_raw = dis_out_and_r1(d_real, x_r1)
+                    gp = spec.lambda_gp * gp_raw
                 sn3 = sn2
                 loss = dis_adv_loss(y_fake, y_real)
-                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
             else:
@@ -433,12 +452,23 @@ def make_rgb_train_step(
             metrics = {}
             if not spec.sn and spec.lambda_gp > 0:
                 x_r1 = x_real.astype(r1_dtype) if r1_dtype else x_real
-                y_real, gp_raw = dis_out_and_r1(
-                    lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0], x_r1
-                )
+                d_real = lambda xr: _dis_apply(dis, params_dis, sn2, xr, stage, alpha)[0]
+                if spec.r1_interval > 1:  # lazy R1 (see make_rgbd_train_step)
+                    def _with_gp(xr):
+                        y, g = dis_out_and_r1(d_real, xr)
+                        return y, spec.lambda_gp * spec.r1_interval * g
+
+                    y_real, gp = jax.lax.cond(
+                        state.iteration % spec.r1_interval == 0,
+                        _with_gp,
+                        lambda xr: (d_real(xr), jnp.float32(0.0)),
+                        x_r1,
+                    )
+                else:
+                    y_real, gp_raw = dis_out_and_r1(d_real, x_r1)
+                    gp = spec.lambda_gp * gp_raw
                 sn3 = sn2
                 loss = dis_adv_loss(y_fake, y_real)
-                gp = spec.lambda_gp * gp_raw
                 metrics["dis/loss_gp"] = gp
                 loss = loss + gp
             else:

@@ -260,6 +260,7 @@ class Trainer:
             lambda_geometric=c.lambda_geometric if c.lambda_geometric else 3.0,
             lambda_rotate=c.lambda_rotate if c.lambda_rotate else 2.0,
             lambda_occupancy=c.lambda_occupancy if c.lambda_occupancy else 1.0,
+            r1_interval=int(c.r1_interval) if c.r1_interval else 1,
             gather_mode=self._gather_mode(),
             axis_name=DATA_AXIS if self.use_mesh else None,
             max_stage=self.max_stage,

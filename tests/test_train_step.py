@@ -304,3 +304,36 @@ class TestLegacyStep:
         assert not bool(metrics["nan"])
         assert np.isfinite(float(metrics["dis/loss_gp"]))
         assert int(new_state.iteration) == 1
+
+
+class TestLazyR1:
+    """Opt-in lazy R1 (StepSpec.r1_interval > 1, StyleGAN2 §5.1): the
+    penalty fires only on every k-th iteration, scaled by k; skip steps run
+    a plain D(x_real) forward. Default interval 1 is the reference-exact
+    path (covered by the golden pins)."""
+
+    def test_gp_fires_on_schedule_and_scales(self):
+        _, _, state0, step_lazy = _build_dcgan({"r1_interval": 2})
+        _, _, _, step_plain = _build_dcgan()
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (BATCH, FULL, FULL, 3), minval=-1, maxval=1
+        )
+        jlazy = jax.jit(step_lazy)
+        jplain = jax.jit(step_plain)
+
+        # iteration 0: penalty applied; same state + key => exactly k× the
+        # plain-spec penalty (identical forward, scaled weight)
+        s1, m_lazy0 = jlazy(state0, x, jnp.float32(0.0), jax.random.PRNGKey(4))
+        _, m_plain0 = jplain(state0, x, jnp.float32(0.0), jax.random.PRNGKey(4))
+        assert float(m_lazy0["dis/loss_gp"]) == pytest.approx(
+            2.0 * float(m_plain0["dis/loss_gp"]), rel=1e-5
+        )
+
+        # iteration 1: skipped => exactly zero, losses stay finite
+        s2, m1 = jlazy(s1, x, jnp.float32(0.0), jax.random.PRNGKey(5))
+        assert float(m1["dis/loss_gp"]) == 0.0
+        assert np.isfinite(float(m1["dis/loss_adv"]))
+
+        # iteration 2: applied again
+        _, m2 = jlazy(s2, x, jnp.float32(0.0), jax.random.PRNGKey(6))
+        assert float(m2["dis/loss_gp"]) > 0.0

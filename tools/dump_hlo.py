@@ -17,7 +17,8 @@ sys.path.insert(0, ".")
 def main():
     import bench
 
-    state, step = bench.build(mixed16=True)
+    state, raw_step = bench.build(mixed16=True)
+    step = jax.jit(raw_step, donate_argnums=(0,))
     x = jax.random.uniform(
         jax.random.PRNGKey(3), (bench.BATCH, bench.FULL_RES, bench.FULL_RES, 3),
         minval=-1, maxval=1,

@@ -24,7 +24,8 @@ def run_trace(n_steps: int = 10):
     sys.path.insert(0, ".")
     import bench
 
-    state, step = bench.build(mixed16=True)
+    state, raw_step = bench.build(mixed16=True)
+    step = jax.jit(raw_step, donate_argnums=(0,))
     x = jax.random.uniform(
         jax.random.PRNGKey(3), (bench.BATCH, bench.FULL_RES, bench.FULL_RES, 3),
         minval=-1, maxval=1,
