@@ -225,13 +225,25 @@ class EqualizedConv3D(nn.Module):
         inv_c = self.gain * math.sqrt(1.0 / (in_ch * k**2)) * self.lrmul
         kinit = self.kernel_init or nn.initializers.normal(stddev=1.0 / self.lrmul)
         kernel = self.param("kernel", kinit, (k, k, k, in_ch, self.features), jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            (inv_c * x),
-            kernel.astype(x.dtype),
-            window_strides=(self.stride,) * 3,
-            padding=[(self.padding, self.padding)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        if k == 1 and self.stride == 1 and self.padding == 0:
+            # 1x1x1 conv == channel matmul. The conv emitter at these shapes
+            # wants a batch-in-sublanes operand layout and forces a relayout
+            # copy of the (large) frustum volume; the dot contracts the
+            # already-minor channel axis in the array's natural row-major
+            # layout instead (profiled 2x4.7 ms of copies + 2x5.8 ms of conv
+            # per deepvoxels step). Same arithmetic, same parameter tree.
+            y = jax.lax.dot_general(
+                inv_c * x, kernel[0, 0, 0].astype(x.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                (inv_c * x),
+                kernel.astype(x.dtype),
+                window_strides=(self.stride,) * 3,
+                padding=[(self.padding, self.padding)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
