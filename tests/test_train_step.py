@@ -337,3 +337,25 @@ class TestLazyR1:
         # iteration 2: applied again
         _, m2 = jlazy(s2, x, jnp.float32(0.0), jax.random.PRNGKey(6))
         assert float(m2["dis/loss_gp"]) > 0.0
+
+    def test_lazy_r1_composes_with_step_window(self):
+        """r1_interval inside make_windowed_step: the lax.cond on the traced
+        iteration must compile under lax.scan and fire on the right steps
+        within one window (gp on window steps 0 and 2, zero on 1 and 3)."""
+        from rgbd_gan_tpu.train.steps import make_windowed_step
+
+        _, _, state, step = _build_dcgan({"r1_interval": 2})
+        window = 4
+        wstep = jax.jit(make_windowed_step(step, window))
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (BATCH, FULL, FULL, 3), minval=-1, maxval=1
+        )
+        xs = jnp.broadcast_to(x, (window,) + x.shape)
+        alphas = jnp.zeros((window,), jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(4), window)
+        new_state, metrics = wstep(state, xs, alphas, keys)
+        gp = np.asarray(metrics["dis/loss_gp"])
+        assert gp.shape == (window,)
+        assert gp[0] > 0.0 and gp[2] > 0.0
+        assert gp[1] == 0.0 and gp[3] == 0.0
+        assert int(new_state.iteration) == window
