@@ -16,7 +16,9 @@ and the wall time cannot undercount device execution. Each additional
 intermediate fetch only *adds* a host<->device roundtrip (~30-60 ms through
 the axon tunnel) into the measured window.
 
-Prints ONE JSON line:
+Prints one JSON line per tracked metric (headline; opt-in lazy-R1 variant;
+deepvoxels production step; the same headline step through shard_map on a
+1-device mesh), each shaped:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 ``vs_baseline`` divides by REFERENCE_IMAGES_PER_SEC, a literature-calibrated
