@@ -30,10 +30,89 @@ BASELINE.json target is >=10x per chip.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# --- TPU-tunnel outage resilience -----------------------------------------
+# The axon tunnel's remote-compile endpoint goes down intermittently (round 3's
+# driver bench run hit "Unable to initialize backend 'axon': UNAVAILABLE" and
+# recorded no number). Probe the backend in a SUBPROCESS (a failed backend
+# init is cached in-process) and retry with backoff up to BENCH_RETRY_BUDGET_S
+# before giving up; on a mid-run UNAVAILABLE the process re-execs itself so
+# the retry starts from a clean backend state. Progress goes to stderr —
+# stdout stays JSON-only.
+
+RETRY_BUDGET_S = float(os.environ.get("BENCH_RETRY_BUDGET_S", 2700))
+_DEADLINE_ENV = "BENCH_RETRY_DEADLINE"
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "print(float(jax.device_get((x @ x).sum())))"
+)
+
+
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """True iff a fresh process can run a tiny matmul on the attached device."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _retry_deadline() -> float:
+    """Monotonic-ish deadline carried across re-execs via the environment."""
+    if _DEADLINE_ENV not in os.environ:
+        os.environ[_DEADLINE_ENV] = str(time.time() + RETRY_BUDGET_S)
+    return float(os.environ[_DEADLINE_ENV])
+
+
+def _wait_for_backend() -> None:
+    deadline = _retry_deadline()
+    attempt = 0
+    while True:
+        if _probe_backend():
+            if attempt:
+                print(f"bench: backend back after {attempt} retries", file=sys.stderr)
+            return
+        attempt += 1
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(
+                "bench: accelerator backend unavailable after "
+                f"{RETRY_BUDGET_S:.0f}s of retries — giving up",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        sleep_s = min(120.0, 15.0 * attempt, remaining)
+        print(
+            f"bench: backend probe failed (attempt {attempt}); retrying in "
+            f"{sleep_s:.0f}s ({remaining:.0f}s budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+
+
+def _is_unavailable_error(e: BaseException) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return "UNAVAILABLE" in msg or "Connection refused" in msg
+
+
+def _reexec_after_outage() -> None:
+    """Restart bench.py with the retry deadline preserved (fresh backend)."""
+    print("bench: backend lost mid-run; re-exec after probe", file=sys.stderr)
+    _wait_for_backend()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+# ---------------------------------------------------------------------------
 
 REFERENCE_IMAGES_PER_SEC = 45.0  # estimated Chainer-GPU (V100) throughput
 
@@ -342,4 +421,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _wait_for_backend()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — only outage errors are retried
+        if _is_unavailable_error(e) and time.time() < _retry_deadline():
+            _reexec_after_outage()
+        raise

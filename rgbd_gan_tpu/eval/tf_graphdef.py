@@ -193,17 +193,65 @@ class GraphDef:
                 return parse_tensor(self._buf, val)
         raise KeyError(f"node {name!r} 'value' attr carries no tensor")
 
-    def float_attr(self, name: str, attr: str) -> float:
+    def _attr_span(self, name: str, attr: str) -> Tuple[int, int]:
         node = self.nodes.get(name)
         if node is None:
             raise KeyError(f"no node named {name!r} in graph")
         span = node["attrs"].get(attr)
         if span is None:
             raise KeyError(f"node {name!r} has no attr {attr!r}")
+        return span
+
+    def has_attr(self, name: str, attr: str) -> bool:
+        node = self.nodes.get(name)
+        return node is not None and attr in node["attrs"]
+
+    def float_attr(self, name: str, attr: str) -> float:
+        span = self._attr_span(name, attr)
         for field, wt, val in _iter_fields(self._buf, *span):
             if field == 4 and wt == _WT_32BIT:  # AttrValue.f
                 return struct.unpack("<f", val)[0]
         raise KeyError(f"attr {attr!r} of {name!r} is not a float")
+
+    def str_attr(self, name: str, attr: str) -> str:
+        """AttrValue.s (e.g. a Conv2D's ``padding``)."""
+        span = self._attr_span(name, attr)
+        for field, wt, val in _iter_fields(self._buf, *span):
+            if field == 2 and wt == _WT_LEN:  # AttrValue.s
+                return _span_bytes(self._buf, val).decode("utf-8")
+        raise KeyError(f"attr {attr!r} of {name!r} is not a string")
+
+    def int_attr(self, name: str, attr: str) -> int:
+        span = self._attr_span(name, attr)
+        for field, wt, val in _iter_fields(self._buf, *span):
+            if field == 3 and wt == _WT_VARINT:  # AttrValue.i
+                return val
+        raise KeyError(f"attr {attr!r} of {name!r} is not an int")
+
+    def bool_attr(self, name: str, attr: str) -> bool:
+        span = self._attr_span(name, attr)
+        for field, wt, val in _iter_fields(self._buf, *span):
+            if field == 5 and wt == _WT_VARINT:  # AttrValue.b
+                return bool(val)
+        raise KeyError(f"attr {attr!r} of {name!r} is not a bool")
+
+    def int_list_attr(self, name: str, attr: str) -> List[int]:
+        """AttrValue.list.i (e.g. ``strides`` / ``ksize``); packed or not."""
+        span = self._attr_span(name, attr)
+        for field, wt, val in _iter_fields(self._buf, *span):
+            if field == 1 and wt == _WT_LEN:  # AttrValue.list
+                out: List[int] = []
+                for f2, w2, v2 in _iter_fields(self._buf, *val):
+                    if f2 == 3:  # ListValue.i
+                        if w2 == _WT_VARINT:
+                            out.append(v2)
+                        elif w2 == _WT_LEN:  # packed
+                            p = v2[0]
+                            while p < v2[1]:
+                                x, p = _read_varint(self._buf, p)
+                                out.append(x)
+                return out
+        raise KeyError(f"attr {attr!r} of {name!r} is not an int list")
 
     def node_input(self, name: str, index: int) -> str:
         """The producer node name of a node's i-th input (tensor suffix stripped)."""
@@ -271,11 +319,27 @@ def encode_const_node(name: str, arr: np.ndarray) -> bytes:
 
 
 def encode_node(name: str, op: str, inputs: List[str] = (),
-                float_attrs: Dict[str, float] = None) -> bytes:
+                float_attrs: Dict[str, float] = None,
+                str_attrs: Dict[str, str] = None,
+                int_attrs: Dict[str, int] = None,
+                bool_attrs: Dict[str, bool] = None,
+                int_list_attrs: Dict[str, List[int]] = None) -> bytes:
     node = _len_field(1, name.encode()) + _len_field(2, op.encode())
     for i in inputs:
         node += _len_field(3, i.encode())
+
+    def _attr(k: str, payload: bytes) -> bytes:
+        return _len_field(5, _len_field(1, k.encode()) + _len_field(2, payload))
+
     for k, v in (float_attrs or {}).items():
-        attr_entry = _len_field(1, k.encode()) + _len_field(2, _f32_field(4, v))
-        node += _len_field(5, attr_entry)
+        node += _attr(k, _f32_field(4, v))
+    for k, v in (str_attrs or {}).items():
+        node += _attr(k, _len_field(2, v.encode()))
+    for k, v in (int_attrs or {}).items():
+        node += _attr(k, _varint_field(3, v))
+    for k, v in (bool_attrs or {}).items():
+        node += _attr(k, _varint_field(5, int(v)))
+    for k, vs in (int_list_attrs or {}).items():
+        lst = b"".join(_varint_field(3, int(v)) for v in vs)
+        node += _attr(k, _len_field(1, lst))  # AttrValue.list
     return _len_field(1, node)

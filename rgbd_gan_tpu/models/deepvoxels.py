@@ -485,10 +485,16 @@ class AccumulativeOcclusionNet(nn.Module):
         # brackets it with relayout copies of the full frustum (profiled
         # ~13 ms of reduce_window fusions + ~5 ms of copies per deepvoxels
         # step); a (D, D) triangular contraction is ~0.1 GFLOP on the MXU in
-        # the natural layout. Same math as cumsum up to f32 summation order.
+        # the natural layout. Precision.HIGHEST keeps the f32 density operand
+        # out of the TPU's default bf16 multiplication passes, so this stays
+        # "same math as cumsum up to f32 summation order" on device too (the
+        # 0/1 tri matrix is exact in any dtype; the cost at (D, D) ~0.1 GFLOP
+        # is negligible).
         d_ax = density.shape[1]
         tri = jnp.tril(jnp.ones((d_ax, d_ax), density.dtype))
-        prefix = jnp.einsum("ij,bjhwc->bihwc", tri, density)
+        prefix = jnp.einsum(
+            "ij,bjhwc->bihwc", tri, density, precision=jax.lax.Precision.HIGHEST
+        )
         cumsum = jnp.clip(prefix, 0.0, 1.0)
         cumsum = jnp.concatenate(
             [jnp.zeros_like(cumsum[:, :1]), cumsum], axis=1

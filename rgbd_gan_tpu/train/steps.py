@@ -311,9 +311,11 @@ def make_rgbd_train_step(
                 if not spec.sn and spec.lambda_gp > 0:
                     def feat_sum(xf):
                         # uses sn2 — the freshest SN state at this point in the
-                        # phase; the power-iteration vectors depend only on the
-                        # weights so sn1 would give identical numbers today, but
-                        # threading must stay monotone through the step
+                        # phase. This branch only runs with spec.sn False, so
+                        # the SN state is None and the choice of sn1 vs sn2 is
+                        # inert (SN power iteration otherwise carries a u
+                        # vector, so they would NOT be interchangeable);
+                        # sn2 keeps the threading monotone through the step.
                         (_, f), _ = _dis_apply(
                             dis, params_dis, sn2, xf, stage, alpha, return_hidden=True
                         )

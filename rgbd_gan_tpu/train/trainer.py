@@ -128,6 +128,14 @@ class Trainer:
 
         self.arch = config.generator_architecture
         self.rgb = bool(config.rgb)
+        if config.r1_interval and int(config.r1_interval) > 1 and self.arch == "deepvoxels":
+            # lazy R1 is only implemented by the rgbd/rgb steps; the
+            # deepvoxels step would silently ignore the interval and apply
+            # R1 every iteration at 1x weight — fail fast instead.
+            raise ValueError(
+                "r1_interval > 1 is not supported by the deepvoxels step "
+                "(lazy R1 is implemented for the stylegan/dcgan rgbd+rgb paths only)"
+            )
         self.gen, self.make_hidden = setup_generator(config)
         self.dis = setup_discriminator(config)
 

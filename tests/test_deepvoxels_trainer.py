@@ -75,3 +75,12 @@ class TestDeepVoxelsTrainer:
         b = np.asarray(list(np.asarray(x) for x in
                             __import__("jax").tree_util.tree_leaves(t2.state.gen_state))[0])
         np.testing.assert_allclose(a, b)
+
+
+def test_r1_interval_unsupported_raises(tmp_path):
+    """lazy R1 is implemented for the rgbd/rgb steps only; the deepvoxels
+    step ignores the interval, so the Trainer must fail fast rather than
+    silently train with R1 every step at 1x weight (ADVICE r3)."""
+    config = dv_config(tmp_path, r1_interval=2)
+    with pytest.raises(ValueError, match="r1_interval"):
+        Trainer(config, dataset=synthetic_dataset(8, 64), seed=0)
