@@ -67,6 +67,13 @@ FRUSTUM_DEPTH = int(np.ceil(np.sqrt(3) * GRID_DIM))  # 56
 NUM_GRID_FEATS = 32
 FOCAL = PROJ_DIM * 2.0  # 128
 CENTER = float(GRID_DIM)  # 32 (principal point of the 64px lift intrinsic)
+# d1-window width for the 'pallas_win' lift modes. A 1024-point tile is 16
+# frustum rows x 64 cols at one depth plane; with z_rotate == 0 the camera's
+# row-1 Jacobian has no u-component, so the tile's grid-dim1 float span is
+# <= (zc_max / (FOCAL * VOXEL_SIZE)) * 15 * |cos(x_rotate)| ~= 9.4 -> at most
+# 11 integer indices incl. the +1 corner; 16 leaves margin and keeps the
+# window a multiple of the 8-sublane tile.
+LIFT_WINDOW = 16
 
 PROJECTION_INTRINSIC = np.array(
     [
@@ -126,10 +133,14 @@ def lift_frustum(
     :param coords_const: (4, N) from :func:`frustum_camera_coords`
     :param lift_mode: 'gather' (pure-XLA flat gather), 'pallas'
         (:mod:`..ops.trilinear_pallas` — VMEM-resident one-hot MXU kernel
-        with a scatter-free custom VJP; bf16 operands / f32 accumulation,
-        the production mode — at the production channel count the f32
-        working set exceeds the 16 MB scoped-VMEM budget), or 'pallas_f32'
-        (exact operands; fits only for small C)
+        with a scatter-free custom VJP; bf16 operands / f32 accumulation —
+        at the production channel count the f32 working set exceeds the
+        16 MB scoped-VMEM budget), 'pallas_f32' (exact operands; fits only
+        for small C), or 'pallas_win' / 'pallas_win_f32' (the windowed
+        kernel: each point tile contracts only LIFT_WINDOW consecutive
+        grid-dim1 planes — half the MXU MACs; valid ONLY when the cameras
+        guarantee the per-tile dim1 span invariant, i.e. ``z_rotate == 0``
+        — see :func:`_resolve_lift_mode` for the bound)
     :returns: (B, FRUSTUM_DEPTH, H, W, C) canonical view volumes
     """
     b = voxel.shape[0]
@@ -141,8 +152,9 @@ def lift_frustum(
     if lift_mode.startswith("pallas"):
         from ..ops.trilinear_pallas import trilinear_lift
 
-        dt = jnp.float32 if lift_mode == "pallas_f32" else jnp.bfloat16
-        out = trilinear_lift(voxel, vox, in_bounds, False, dt)
+        dt = jnp.float32 if lift_mode.endswith("_f32") else jnp.bfloat16
+        win = LIFT_WINDOW if lift_mode.startswith("pallas_win") else None
+        out = trilinear_lift(voxel, vox, in_bounds, False, dt, win)
         return out.reshape(b, FRUSTUM_DEPTH, PROJ_DIM, PROJ_DIM, c)
 
     # axis roles follow interpolate_trilinear (deepvoxel.py:394-396):
@@ -778,17 +790,39 @@ class DeepVoxelsDiscriminator(nn.Module):
         return DiscriminatorBlockBase(self.ch, 1, name="block0")(h)
 
 
-def _resolve_lift_mode(requested) -> str:
+def _resolve_lift_mode(requested, z_rotate: float = 0.0) -> str:
     """Default on TPU: the VMEM-resident Pallas lift (measured 4.1x on the
     whole production step: 999.8 -> 245.5 ms/step, batch 10 @ 64px ch=256
-    on a v5e). 'pallas*' needs a real TPU (Mosaic); CPU runs and an explicit
-    ``lift_mode: gather`` use the exact-arithmetic XLA gather."""
+    on a v5e), windowed ('pallas_win', half the MXU MACs) when the camera
+    prior proves the span invariant. 'pallas*' needs a real TPU (Mosaic);
+    CPU runs and an explicit ``lift_mode: gather`` use the exact-arithmetic
+    XLA gather.
+
+    The windowed kernel drops contributions outside each tile's 16-plane
+    grid-dim1 window, which is exact iff every valid point's dim1 indices
+    span < 16 per 1024-point tile. With ``z_rotate == 0`` the cam2world
+    row-1 Jacobian has no frustum-u component (rotation row 1 of
+    Rz@Ry@Rx@diag(1,1,-1) is [0, cos x, sin x]), bounding the span at ~11
+    for EVERY camera the prior can draw (``geometry/prior.py`` scales
+    U(-1,1) by the per-axis range) — so the gate is static. Any nonzero
+    z-rotation range falls back to the full-width kernel."""
     from ..ops.bilinear_pallas import pallas_available
 
+    windowable = float(z_rotate or 0.0) == 0.0
     if requested and str(requested).startswith("pallas"):
-        return str(requested) if pallas_available() else "gather"
+        if not pallas_available():
+            return "gather"
+        req = str(requested)
+        if req.startswith("pallas_win") and not windowable:
+            raise ValueError(
+                "lift_mode 'pallas_win*' requires z_rotate == 0 (the windowed "
+                "kernel's per-tile span invariant does not hold under z-rotation)"
+            )
+        return req
     if not requested:
-        return "pallas" if pallas_available() else "gather"
+        if not pallas_available():
+            return "gather"
+        return "pallas_win" if windowable else "pallas"
     return str(requested)
 
 
@@ -807,7 +841,7 @@ def build_deepvoxels_generator(config):
         accumulative_threshold=(
             config.accumulative_threshold if config.accumulative_threshold else 4.0
         ),
-        lift_mode=_resolve_lift_mode(config.lift_mode),
+        lift_mode=_resolve_lift_mode(config.lift_mode, config.z_rotate),
         compute_dtype=jnp.bfloat16 if config.mixed16 else None,
     )
     make_hidden = lambda key, n: deepvoxels_make_hidden(key, n, config.ch)

@@ -24,6 +24,17 @@ production shapes — so ``dtype=jnp.bfloat16`` (operands bf16, f32
 accumulation) is the intended production mode (~2x MXU rate; the grid
 features tolerate bf16).
 
+The ``window`` variants halve that again: a 1024-point tile is 16 frustum
+rows x 64 cols of one depth plane, and when the camera has no z-rotation
+the tile's grid-dim1 (d1) reach is provably < 16 planes (the cam2world
+row-1 Jacobian has no u-component; measured span <= 10 over the production
+prior). The grid operand is laid out d1-major and each tile contracts only
+a dynamically-positioned (in-kernel ``pl.ds``) 16*G-row window — w/G of
+the MACs, same arithmetic for every in-window point, and out-of-window
+points are necessarily masked (their one-hot weights are zero). Mode
+selection and the span-invariant gate live in
+``models/deepvoxels._resolve_lift_mode``.
+
 Reference hot op: ``deepvoxel/deepvoxel.py:388-428`` (interpolate_trilinear
 + scatter_add). Parity: ``tests/test_trilinear_pallas.py`` (vs the dense
 gather lift, fwd + grad).
@@ -168,6 +179,94 @@ def _lift_bwd_kernel(x_ref, y_ref, z_ref, m_ref, g_ref, dv_ref, *, g, c, dtype):
             )
 
 
+def _win_start(yi, mask, g, w):
+    """Per-tile dynamic window start on the d1 axis: the smallest valid y0,
+    clamped so the w-wide window stays inside the grid. Invalid points are
+    excluded via a +sentinel (their one-hot weights are zero anyway, so they
+    may lie outside the window)."""
+    y0 = jnp.clip(yi.astype(jnp.int32), 0, g - 1)
+    s = jnp.min(jnp.where(mask > 0.0, y0, g))
+    return jnp.clip(s, 0, g - w)
+
+
+def _a01_rows_win(xi, yi, mask, g, w, s, dtype):
+    """(TILE_N, w*g) weighted one-hot rows over the fused (d1-window, d0)
+    axis — the d1-major twin of :func:`_a01_rows` restricted to the w rows
+    [s, s+w). Valid points are guaranteed in-window by the caller's span
+    invariant; out-of-window (necessarily masked) points match no column."""
+    x0, x1, fx = _axis_terms(xi, g)
+    y0, y1, fy = _axis_terms(yi, g)
+    j = jax.lax.broadcasted_iota(jnp.int32, (xi.shape[0], w * g), 1)
+    jd1 = j // g
+    d1 = jd1 + s
+    d0 = j - jd1 * g
+    w1 = jnp.where(d1 == y0[:, None], ((1.0 - fy) * mask)[:, None], 0.0)
+    w1 = w1 + jnp.where(d1 == y1[:, None], (fy * mask)[:, None], 0.0)
+    w0 = jnp.where(d0 == x0[:, None], (1.0 - fx)[:, None], 0.0)
+    w0 = w0 + jnp.where(d0 == x1[:, None], fx[:, None], 0.0)
+    return (w0 * w1).astype(dtype)
+
+
+def _lift_fwd_kernel_win(x_ref, y_ref, z_ref, m_ref, grid_ref, out_ref, *, g, c, w, dtype):
+    """Windowed forward: the grid operand is d1-MAJOR (rows = d1*g + d0) and
+    the MXU contraction only touches the w d1-planes the tile can reach —
+    w/g of the full kernel's MACs. Requires the per-tile d1 span invariant
+    (``lift_frustum`` gates the mode on ``z_rotate == 0``, which bounds the
+    span at ~11 < w; see ``models/deepvoxels._resolve_lift_mode``)."""
+    xi = x_ref[0].reshape(TILE_N)
+    yi = y_ref[0].reshape(TILE_N)
+    zi = z_ref[0].reshape(TILE_N)
+    mask = m_ref[0].reshape(TILE_N)
+    any_valid = jnp.sum(mask) > 0.0
+
+    @pl.when(any_valid)
+    def _():
+        s = _win_start(yi, mask, g, w)
+        a01 = _a01_rows_win(xi, yi, mask, g, w, s, dtype)  # (N, w*g)
+        win = grid_ref[0, pl.ds(pl.multiple_of(s * g, g), w * g), :]
+        t = jnp.dot(a01, win, preferred_element_type=jnp.float32)  # (N, g*c)
+        a2e = _a2_expanded(zi, g, c, dtype)
+        out = jnp.dot(
+            t.astype(dtype) * a2e, _channel_selector(g, c, dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = out.reshape(TILE_ROWS, 128, c).astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(any_valid))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+
+def _lift_bwd_kernel_win(x_ref, y_ref, z_ref, m_ref, g_ref, dv_ref, *, g, c, w, dtype):
+    """Windowed backward: dV is accumulated in the d1-major layout; each tile
+    read-modify-writes only its w*g-row window. The windowed working set
+    (g*w*c) fits scoped VMEM without the full kernel's sub-tiling."""
+    xi = x_ref[0].reshape(TILE_N)
+    yi = y_ref[0].reshape(TILE_N)
+    zi = z_ref[0].reshape(TILE_N)
+    mask = m_ref[0].reshape(TILE_N)
+    gb = g_ref[0].reshape(TILE_N, c).astype(dtype)
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    any_valid = jnp.sum(mask) > 0.0
+
+    @pl.when(any_valid)
+    def _():
+        s = _win_start(yi, mask, g, w)
+        a01 = _a01_rows_win(xi, yi, mask, g, w, s, dtype)
+        a2e = _a2_expanded(zi, g, c, dtype)
+        e = a2e * jnp.concatenate([gb] * g, axis=1)
+        row0 = pl.multiple_of(s * g, g)
+        dv_ref[0, pl.ds(row0, w * g), :] += jax.lax.dot_general(
+            a01, e, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _point_blocks(vox_coords, in_bounds, b, rows, ref_dtype):
     xi = vox_coords[:, 2].reshape(b, rows, 128)  # grid spatial dim0
     yi = vox_coords[:, 1].reshape(b, rows, 128)
@@ -182,14 +281,20 @@ def _coord_specs():
 
 def trilinear_lift_pallas(
     voxel: jnp.ndarray, vox_coords: jnp.ndarray, in_bounds: jnp.ndarray,
-    interpret: bool = False, dtype=None,
+    interpret: bool = False, dtype=None, window: int | None = None,
 ) -> jnp.ndarray:
     """Forward lift: sample ``voxel`` (B, G, G, G, C) at ``vox_coords`` (B, 3, N).
 
     ``vox_coords`` rows follow ``models/deepvoxels.lift_frustum``'s axis
     roles (row 2 -> grid dim0, row 1 -> dim1, row 0 -> dim2); ``in_bounds``
     (B, N) zeroes out-of-frustum cells. ``dtype`` selects the MXU operand
-    dtype (default f32; ``jnp.bfloat16`` for ~2x). Returns (B, N, C) f32.
+    dtype (default f32; ``jnp.bfloat16`` for ~2x). ``window`` (static)
+    restricts each point tile's contraction to ``window`` consecutive
+    d1-planes (grid dim1) around the tile's reach — window/G of the full
+    MACs — and REQUIRES every valid point's y0/y1 to fall within a
+    window-wide span per tile (guaranteed by the frustum geometry when the
+    camera has no z-rotation; see ``models/deepvoxels._resolve_lift_mode``).
+    Returns (B, N, C) f32.
     """
     b, g, _, _, c = voxel.shape
     n = vox_coords.shape[2]
@@ -197,10 +302,18 @@ def trilinear_lift_pallas(
     rows = n // 128
     dt = dtype or voxel.dtype
     xi, yi, zi, m = _point_blocks(vox_coords, in_bounds, b, rows, vox_coords.dtype)
-    grid = voxel.reshape(b, g * g, g * c).astype(dt)
+
+    if window is None:
+        grid = voxel.reshape(b, g * g, g * c).astype(dt)
+        kernel = functools.partial(_lift_fwd_kernel, g=g, c=c, dtype=dt)
+    else:
+        assert 0 < window <= g
+        # d1-major rows so a d1 window is a contiguous row slice
+        grid = jnp.swapaxes(voxel, 1, 2).reshape(b, g * g, g * c).astype(dt)
+        kernel = functools.partial(_lift_fwd_kernel_win, g=g, c=c, w=window, dtype=dt)
 
     out = pl.pallas_call(
-        functools.partial(_lift_fwd_kernel, g=g, c=c, dtype=dt),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, rows, 128, c), jnp.float32),
         grid=(b, rows // TILE_ROWS),
         in_specs=_coord_specs() + [pl.BlockSpec((1, g * g, g * c), lambda i, j: (i, 0, 0))],
@@ -210,15 +323,21 @@ def trilinear_lift_pallas(
     return out.reshape(b, n, c)
 
 
-def _trilinear_dv_pallas(gbar, vox_coords, in_bounds, g, c, interpret, dtype):
+def _trilinear_dv_pallas(gbar, vox_coords, in_bounds, g, c, interpret, dtype,
+                         window=None):
     """dV (B, G, G, G, C) from cotangents ``gbar`` (B, N, C)."""
     b, n, _ = gbar.shape
     rows = n // 128
     xi, yi, zi, m = _point_blocks(vox_coords, in_bounds, b, rows, vox_coords.dtype)
     gb = gbar.reshape(b, rows, 128, c).astype(dtype)
 
+    if window is None:
+        kernel = functools.partial(_lift_bwd_kernel, g=g, c=c, dtype=dtype)
+    else:
+        kernel = functools.partial(_lift_bwd_kernel_win, g=g, c=c, w=window, dtype=dtype)
+
     dv = pl.pallas_call(
-        functools.partial(_lift_bwd_kernel, g=g, c=c, dtype=dtype),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, g * g, g * c), jnp.float32),
         grid=(b, rows // TILE_ROWS),
         in_specs=_coord_specs()
@@ -226,27 +345,32 @@ def _trilinear_dv_pallas(gbar, vox_coords, in_bounds, g, c, interpret, dtype):
         out_specs=pl.BlockSpec((1, g * g, g * c), lambda i, j: (i, 0, 0)),
         interpret=interpret,
     )(xi, yi, zi, m, gb)
-    return dv.reshape(b, g, g, g, c)
+    dv = dv.reshape(b, g, g, g, c)
+    if window is not None:
+        dv = jnp.swapaxes(dv, 1, 2)  # back from the d1-major layout
+    return dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def trilinear_lift(voxel, vox_coords, in_bounds, interpret=False, dtype=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def trilinear_lift(voxel, vox_coords, in_bounds, interpret=False, dtype=None,
+                   window=None):
     """Differentiable VMEM-resident lift; gradient flows to ``voxel`` only
     (coordinates are index data, as in the reference projection)."""
-    return trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype)
+    return trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype, window)
 
 
-def _lift_fwd(voxel, vox_coords, in_bounds, interpret, dtype):
-    out = trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype)
+def _lift_fwd(voxel, vox_coords, in_bounds, interpret, dtype, window):
+    out = trilinear_lift_pallas(voxel, vox_coords, in_bounds, interpret, dtype, window)
     # only voxel's shape/dtype are needed, but residuals must be JAX values
     return out, (jnp.zeros(voxel.shape[1:] + (0,), voxel.dtype), vox_coords, in_bounds)
 
 
-def _lift_bwd(interpret, dtype, res, gbar):
+def _lift_bwd(interpret, dtype, window, res, gbar):
     (vproto, vox_coords, in_bounds) = res
     g, _, _, c, _ = vproto.shape
     dv = _trilinear_dv_pallas(
-        gbar, vox_coords, in_bounds, g, c, interpret, dtype or vproto.dtype
+        gbar, vox_coords, in_bounds, g, c, interpret, dtype or vproto.dtype,
+        window,
     )
     return dv.astype(vproto.dtype), None, None
 

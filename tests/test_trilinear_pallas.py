@@ -180,3 +180,110 @@ class TestTrilinearPallas:
         g_ours = jax.grad(ours)(voxel)
         g_ref = jax.grad(ref)(voxel)
         np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=3e-5)
+
+
+class TestWindowedLift:
+    """The 'pallas_win' variants: per-tile dynamic d1 windows (half the MXU
+    MACs). Windowing must be EXACT under the span invariant (z_rotate == 0),
+    so f32 windowed vs the gather lift is a strict allclose."""
+
+    # mid-frustum tile-aligned slice: depth planes that actually intersect
+    # the grid (4 tiles per 64x64 plane; planes ~17-49 cross the cube, so
+    # tiles 80+ sit at plane 20, zc ~0.78 — well inside)
+    def _slice(self, vox, ib, k0=80, m=4):
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N
+
+        s = slice(k0 * TILE_N, (k0 + m) * TILE_N)
+        return vox[:, :, s], ib[:, s], s
+
+    @pytest.mark.parametrize(
+        "theta",
+        [
+            (0.0, 0.0),          # identity
+            (0.3054, 3.1415),    # production prior extremes (x, y rotate)
+            (-0.3054, -3.1415),
+            (0.3054, 1.5708),    # worst-case z-span orientation
+        ],
+    )
+    def test_fwd_matches_gather_exact(self, theta):
+        from rgbd_gan_tpu.ops.trilinear_pallas import trilinear_lift
+
+        rng = np.random.RandomState(11)
+        b, c = 1, 4
+        voxel = jnp.asarray(rng.rand(b, GRID_DIM, GRID_DIM, GRID_DIM, c).astype("f"))
+        th = jnp.zeros((b, 6)).at[:, 0].set(theta[0]).at[:, 1].set(theta[1])
+        mats = camera_matrices(th)
+        coords = jnp.asarray(frustum_camera_coords())
+        n = coords.shape[1]
+        vox, ib = _corner_inputs(mats, coords)
+        vox_s, ib_s, s = self._slice(vox, ib)
+        assert bool(ib_s.any()), "slice must contain in-frustum points"
+
+        ref = lift_frustum(voxel, mats, coords).reshape(b, n, c)[:, s]
+        win = trilinear_lift(voxel, vox_s, ib_s, True, None, 16)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(ref), atol=2e-5)
+
+    def test_grad_matches_gather_exact(self):
+        from rgbd_gan_tpu.ops.trilinear_pallas import trilinear_lift
+
+        rng = np.random.RandomState(12)
+        b, c = 1, 4
+        voxel = jnp.asarray(rng.rand(b, GRID_DIM, GRID_DIM, GRID_DIM, c).astype("f"))
+        th = jnp.zeros((b, 6)).at[:, 0].set(0.3054).at[:, 1].set(2.2)
+        mats = camera_matrices(th)
+        coords = jnp.asarray(frustum_camera_coords())
+        n = coords.shape[1]
+        vox, ib = _corner_inputs(mats, coords)
+        vox_s, ib_s, s = self._slice(vox, ib)
+        assert bool(ib_s.any()), "slice must contain in-frustum points"
+        cot = jnp.asarray(rng.rand(b, vox_s.shape[2], c).astype("f"))
+
+        def ours(v):
+            return jnp.sum(trilinear_lift(v, vox_s, ib_s, True, None, 16) * cot)
+
+        def ref(v):
+            full = lift_frustum(v, mats, coords).reshape(b, n, c)[:, s]
+            return jnp.sum(full * cot)
+
+        g_ours = jax.grad(ours)(voxel)
+        g_ref = jax.grad(ref)(voxel)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=3e-5)
+
+    def test_span_invariant_over_production_prior(self):
+        """The windowed kernel's correctness precondition, checked over many
+        random cameras from the deepvoxels production prior (z_rotate = 0):
+        every 1024-point tile's valid grid-dim1 integer span (incl. the +1
+        corner) must fit LIFT_WINDOW with margin."""
+        from rgbd_gan_tpu.models.deepvoxels import LIFT_WINDOW, VOXEL_SIZE
+        from rgbd_gan_tpu.ops.trilinear_pallas import TILE_N
+
+        rng = np.random.RandomState(13)
+        coords = np.asarray(frustum_camera_coords())
+        n = coords.shape[1]
+        worst = 0
+        for _ in range(32):
+            th = rng.uniform(-1, 1, 6) * np.array([0.3054, 3.1415, 0, 0, 0, 0])
+            m = np.asarray(camera_matrices(jnp.asarray(th)[None]))[0]
+            vox = (m @ coords)[:3] / VOXEL_SIZE + GRID_DIM / 2
+            ib = np.all(vox >= 0, axis=0) & np.all(vox < GRID_DIM, axis=0)
+            y0 = np.clip(vox[1].astype(np.int64), 0, GRID_DIM - 1)
+            for t in range(n // TILE_N):
+                s = slice(t * TILE_N, (t + 1) * TILE_N)
+                v = ib[s]
+                if not v.any():
+                    continue
+                span = int(y0[s][v].max() - y0[s][v].min()) + 2  # +1 corner
+                worst = max(worst, span)
+        assert worst <= LIFT_WINDOW - 2, worst  # >= 2 planes of margin
+
+    def test_resolver_gates_on_z_rotate(self):
+        from rgbd_gan_tpu.models.deepvoxels import _resolve_lift_mode
+        from rgbd_gan_tpu.ops.bilinear_pallas import pallas_available
+
+        if pallas_available():
+            assert _resolve_lift_mode(None, 0.0) == "pallas_win"
+            assert _resolve_lift_mode(None, 0.5) == "pallas"
+            assert _resolve_lift_mode("pallas", 0.5) == "pallas"
+            with pytest.raises(ValueError, match="z_rotate"):
+                _resolve_lift_mode("pallas_win", 0.5)
+        assert _resolve_lift_mode("gather", 0.5) == "gather"
