@@ -310,6 +310,11 @@ def _bench_deepvoxels(iters: int = 15, warmup: int = 3, lift_mode=None):
     batch = int(x.shape[0])
 
     key = jax.random.PRNGKey(10)
+    # XLA's own FLOP count so the line carries an estimate-independent
+    # MFU figure alongside the vs_baseline ratio (the Pallas lift custom
+    # calls are opaque to cost_analysis, so this is a LOWER bound on the
+    # step's real FLOPs and the MFU is likewise a lower bound).
+    flops = _step_flops(step, state, x, alpha, key)
     for _ in range(warmup):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
@@ -321,7 +326,11 @@ def _bench_deepvoxels(iters: int = 15, warmup: int = 3, lift_mode=None):
     loss = float(jax.device_get(metrics["gen/loss_adv"]))  # chained: one fetch
     dt = (time.perf_counter() - t0) / iters
     assert loss == loss, "NaN loss in deepvoxels benchmark"
-    return batch / dt, dt * 1000.0, batch, getattr(t.gen, "lift_mode", "?")
+    achieved_tflops = flops / dt / 1e12
+    return (
+        batch / dt, dt * 1000.0, batch, getattr(t.gen, "lift_mode", "?"),
+        achieved_tflops,
+    )
 
 
 def main():
@@ -384,7 +393,7 @@ def main():
 
     if os.environ.get("BENCH_SKIP_DEEPVOXELS", "") != "1":
         try:
-            dv_ips, dv_ms, dv_batch, dv_mode = _bench_deepvoxels()
+            dv_ips, dv_ms, dv_batch, dv_mode, dv_tflops = _bench_deepvoxels()
         except Exception as e:  # noqa: BLE001
             # Outages are handled by the outer retry loop; anything else
             # (e.g. a Mosaic rejection of the default windowed lift on a
@@ -398,7 +407,9 @@ def main():
                 f"{str(e)[:200]}); retrying with lift_mode=pallas",
                 file=sys.stderr,
             )
-            dv_ips, dv_ms, dv_batch, dv_mode = _bench_deepvoxels(lift_mode="pallas")
+            dv_ips, dv_ms, dv_batch, dv_mode, dv_tflops = _bench_deepvoxels(
+                lift_mode="pallas"
+            )
         print(
             json.dumps(
                 {
@@ -410,6 +421,10 @@ def main():
                     "unit": "images/sec/chip",
                     "vs_baseline": round(dv_ips / REFERENCE_DV_IMAGES_PER_SEC, 2),
                     "ms_per_step": round(dv_ms, 1),
+                    # lower bounds: cost_analysis cannot see inside the Pallas
+                    # lift custom calls (see _bench_deepvoxels)
+                    "achieved_tflops_per_sec": round(dv_tflops, 2),
+                    "mfu_vs_bf16_peak": round(dv_tflops / _peak_tflops(), 4),
                 }
             )
         )

@@ -28,7 +28,7 @@ from ..core.stage import decompose_stage
 from ..eval import fid as fid_mod
 from ..eval.inception import load_params
 from ..eval.preview import sample_generate_light
-from ..geometry.camera import camera_matrices, theta_to_9dof
+from ..geometry.camera import theta_to_9dof
 from ..train.trainer import Trainer
 
 
@@ -82,15 +82,9 @@ def main(argv=None):
             return theta_to_9dof(trainer.prior.sample(key, n))
 
         if trainer.arch == "deepvoxels":
-            def gen(batchsize):
-                kz, kt = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), batchsize))
-                thetas6 = trainer.prior.sample(kt, batchsize)
-                mats = camera_matrices(thetas6)
-                x = gen_apply(
-                    trainer.make_hidden(kz, batchsize), floor, jnp.float32(alpha),
-                    theta_to_9dof(thetas6), mats,
-                )
-                return x[..., :3]
+            gen = fid_mod.deepvoxels_image_sampler(
+                gen_apply, trainer.make_hidden, trainer.prior, floor, alpha,
+            )
         else:
             gen = fid_mod.rgbd_image_sampler(
                 gen_apply, trainer.make_hidden, floor, alpha,

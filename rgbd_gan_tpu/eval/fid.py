@@ -46,6 +46,29 @@ def rgbd_image_sampler(gen_apply: Callable, make_hidden: Callable, stage_floor: 
     return gen
 
 
+def deepvoxels_image_sampler(gen_apply: Callable, make_hidden: Callable, prior,
+                             stage_floor: int, alpha: float) -> Callable:
+    """DeepVoxels twin of :func:`rgbd_image_sampler`: the generator takes the
+    camera matrices alongside the 9-DoF pose. The key is threaded across
+    calls — a constant key would make every ``gen_images`` batch identical
+    and degenerate the n>=10k feature covariance (found at production-scale
+    eval, round 5)."""
+    from ..geometry.camera import camera_matrices, theta_to_9dof
+
+    state = {"key": jax.random.PRNGKey(0)}
+
+    def gen(batchsize: int):
+        state["key"], kz, kt = jax.random.split(state["key"], 3)
+        thetas6 = prior.sample(kt, batchsize)
+        x = gen_apply(
+            make_hidden(kz, batchsize), stage_floor, jnp.float32(alpha),
+            theta_to_9dof(thetas6), camera_matrices(thetas6),
+        )
+        return x[..., :3]
+
+    return gen
+
+
 def gen_images(gen: Callable, n: int = 50000, batchsize: int = 100) -> np.ndarray:
     """Sample n uint8 NHWC images from ``gen(batchsize)`` (tanh range in,
     uint8 out — ``evaluation.py:16-28``)."""

@@ -67,13 +67,45 @@ FRUSTUM_DEPTH = int(np.ceil(np.sqrt(3) * GRID_DIM))  # 56
 NUM_GRID_FEATS = 32
 FOCAL = PROJ_DIM * 2.0  # 128
 CENTER = float(GRID_DIM)  # 32 (principal point of the 64px lift intrinsic)
-# d1-window width for the 'pallas_win' lift modes. A 1024-point tile is 16
-# frustum rows x 64 cols at one depth plane; with z_rotate == 0 the camera's
-# row-1 Jacobian has no u-component, so the tile's grid-dim1 float span is
-# <= (zc_max / (FOCAL * VOXEL_SIZE)) * 15 * |cos(x_rotate)| ~= 9.4 -> at most
-# 11 integer indices incl. the +1 corner; 16 leaves margin and keeps the
-# window a multiple of the 8-sublane tile.
+# d1-window width for the 'pallas_win' lift modes; must be a multiple of the
+# 8-sublane tile. The correctness precondition (every point tile's grid-dim1
+# reach fits one window) is DERIVED from the live geometry constants by
+# :func:`lift_window_span_bound` and enforced in :func:`_resolve_lift_mode`.
 LIFT_WINDOW = 16
+
+
+def lift_window_span_bound() -> float:
+    """Worst-case per-tile grid-dim1 FLOAT span of the windowed lift, derived
+    from the live geometry constants (so editing FOCAL/VOXEL_SIZE/GRID_DIM/
+    FRUSTUM_DEPTH/NEAR_PLANE — or the kernel tile size — moves the gate).
+
+    A point tile is ``TILE_N`` consecutive frustum cells in depth-major
+    linear order; when ``PROJ_DIM**2 % TILE_N == 0`` a tile never straddles
+    depth planes, so its camera-space z is constant and it covers frustum-v
+    values spanning ``dy = (TILE_N - 1) / PROJ_DIM`` (float-division y quirk
+    included, ``projection.py:67``). With ``z_rotate == 0`` the cam2world
+    row-1 Jacobian has no frustum-u component (row 1 of
+    Rz(0)@Ry@Rx@diag(1,1,-1) is [0, cos x, sin x]) and z/translations are
+    constant per tile, so the tile's grid-dim1 float span is exactly
+    ``|cos x_rot| * dy * zc / (FOCAL * VOXEL_SIZE)`` — maximised at
+    ``|cos| = 1`` (the prior's U(-r, r) range always contains 0) and at the
+    farthest depth plane. Returns ``inf`` when the tile-alignment
+    precondition itself fails.
+
+    The integer-index reach per tile is at most ``floor(span) + 2`` planes
+    (floor straddle + the trilinear +1 corner), so ``pallas_win`` is exact
+    iff ``floor(span) + 2 <= LIFT_WINDOW - 1``; the resolver enforces the
+    slightly stronger ``span + 3 <= LIFT_WINDOW`` (one extra plane of
+    margin). Checked empirically over the production prior by
+    ``tests/test_trilinear_pallas.py::test_span_invariant_over_production_prior``.
+    """
+    from ..ops.trilinear_pallas import TILE_N
+
+    if (PROJ_DIM * PROJ_DIM) % TILE_N != 0:
+        return float("inf")  # a tile straddles depth planes: z varies in-tile
+    dy = (TILE_N - 1) / PROJ_DIM
+    zc_max = NEAR_PLANE + (FRUSTUM_DEPTH - 1) * VOXEL_SIZE
+    return dy * zc_max / (FOCAL * VOXEL_SIZE)
 
 PROJECTION_INTRINSIC = np.array(
     [
@@ -798,25 +830,34 @@ def _resolve_lift_mode(requested, z_rotate: float = 0.0) -> str:
     CPU runs and an explicit ``lift_mode: gather`` use the exact-arithmetic
     XLA gather.
 
-    The windowed kernel drops contributions outside each tile's 16-plane
-    grid-dim1 window, which is exact iff every valid point's dim1 indices
-    span < 16 per 1024-point tile. With ``z_rotate == 0`` the cam2world
-    row-1 Jacobian has no frustum-u component (rotation row 1 of
-    Rz@Ry@Rx@diag(1,1,-1) is [0, cos x, sin x]), bounding the span at ~11
-    for EVERY camera the prior can draw (``geometry/prior.py`` scales
-    U(-1,1) by the per-axis range) — so the gate is static. Any nonzero
-    z-rotation range falls back to the full-width kernel."""
+    The windowed kernel drops contributions outside each tile's
+    LIFT_WINDOW-plane grid-dim1 window, which is exact iff every valid
+    point's dim1 indices fit the window per tile. Two live conditions gate
+    it (both re-derived from the current constants, not hardcoded analysis):
+    ``z_rotate == 0`` (a z-rotation couples the 64-col frustum-u reach into
+    dim1, breaking the bound for EVERY camera draw — ``geometry/prior.py``
+    scales U(-1,1) by the per-axis range), and
+    :func:`lift_window_span_bound` + 3 planes (floor straddle, +1 corner,
+    one margin) fitting ``LIFT_WINDOW`` — so editing the geometry constants
+    or kernel tile size flips the gate instead of silently zeroing valid
+    contributions. Failing either falls back to the full-width kernel."""
     from ..ops.bilinear_pallas import pallas_available
 
-    windowable = float(z_rotate or 0.0) == 0.0
+    windowable = (
+        float(z_rotate or 0.0) == 0.0
+        and lift_window_span_bound() + 3.0 <= LIFT_WINDOW
+    )
     if requested and str(requested).startswith("pallas"):
         if not pallas_available():
             return "gather"
         req = str(requested)
         if req.startswith("pallas_win") and not windowable:
             raise ValueError(
-                "lift_mode 'pallas_win*' requires z_rotate == 0 (the windowed "
-                "kernel's per-tile span invariant does not hold under z-rotation)"
+                "lift_mode 'pallas_win*' requires z_rotate == 0 and a per-tile "
+                "grid-dim1 span bound that fits LIFT_WINDOW "
+                f"(span bound {lift_window_span_bound():.2f} + 3 margin vs "
+                f"window {LIFT_WINDOW}); the windowed kernel would silently "
+                "zero out-of-window contributions otherwise"
             )
         return req
     if not requested:

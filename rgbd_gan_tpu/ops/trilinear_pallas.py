@@ -329,7 +329,10 @@ def _trilinear_dv_pallas(gbar, vox_coords, in_bounds, g, c, interpret, dtype,
     b, n, _ = gbar.shape
     rows = n // 128
     xi, yi, zi, m = _point_blocks(vox_coords, in_bounds, b, rows, vox_coords.dtype)
-    gb = gbar.reshape(b, rows, 128, c).astype(dtype)
+    # no pre-kernel operand cast: both backward kernels cast their g_ref tile
+    # to the MXU dtype in VMEM, so an XLA-side astype here would only add a
+    # full cotangent HBM round trip (~440 MB at production shapes)
+    gb = gbar.reshape(b, rows, 128, c)
 
     if window is None:
         kernel = functools.partial(_lift_bwd_kernel, g=g, c=c, dtype=dtype)

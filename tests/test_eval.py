@@ -7,6 +7,7 @@ import pytest
 
 from rgbd_gan_tpu.eval.fid import (
     compute_dataset_stat,
+    deepvoxels_image_sampler,
     fid_score,
     gen_images,
     get_mean_cov,
@@ -87,6 +88,31 @@ class TestPipelines:
         assert os.path.exists(path)
         m2, c2 = compute_dataset_stat(model, variables, None, path)  # loads cache
         np.testing.assert_allclose(m1, m2)
+
+    def test_samplers_advance_key_across_batches(self):
+        """Both samplers must thread their PRNG key across calls: a constant
+        key made every deepvoxels gen_images batch identical, degenerating
+        the feature covariance at production-scale FID (round-5 fix)."""
+        from rgbd_gan_tpu.core import Config
+        from rgbd_gan_tpu.geometry import CameraParamPrior
+
+        def echo_gen_apply(z, stage, alpha, theta9, mats=None):
+            # image = broadcast of the latent: batches differ iff z does
+            return jnp.broadcast_to(z[:, None, None, :4], (z.shape[0], 4, 4, 4))
+
+        make_hidden = lambda k, n: jax.random.normal(k, (n, 8))
+        prior = CameraParamPrior(
+            Config(dict(x_rotate=0.3, y_rotate=1.0, z_rotate=0,
+                        x_translate=0, y_translate=0, z_translate=0,
+                        uniform_distribution=False))
+        )
+        for sampler in (
+            rgbd_image_sampler(echo_gen_apply, make_hidden, 6, 0.0),
+            deepvoxels_image_sampler(echo_gen_apply, make_hidden, prior, 6, 0.0),
+        ):
+            a = np.asarray(jax.device_get(sampler(4)))
+            b = np.asarray(jax.device_get(sampler(4)))
+            assert not np.array_equal(a, b), "sampler reused its PRNG key"
 
     def test_gen_images_adapter(self):
         def fake_gen_apply(z, stage, alpha, theta9):

@@ -195,3 +195,63 @@ class TestGoldenStepValues:
                       "dis/loss_gp"]
         }
         self._check_pin("deepvoxels_background", got)
+
+    # -- opt-in performance variants (VERDICT r4 #6): the two modes that are
+    # deliberately NOT reference-exact (lazy R1's lax.cond schedule; the
+    # windowed bf16 Pallas lift) get their own fixed-seed pins so they cannot
+    # drift silently either.
+
+    def test_dcgan_lazy_r1_interval_two_step_losses(self):
+        """Lazy R1 (StyleGAN2 §5.1, `r1_interval: 16` in the yml / bench):
+        the penalty fires via lax.cond when iteration % k == 0 at weight x k
+        (train/steps.py:267-286) and is exactly zero in between."""
+        import test_train_step as tts
+
+        gen, dis, state, step = tts._build_dcgan({"r1_interval": 16})
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (tts.BATCH, tts.FULL, tts.FULL, 3),
+            minval=-1, maxval=1,
+        )
+        jstep = jax.jit(step)
+        # iteration 0: 0 % 16 == 0 -> the cond TAKES the penalty branch, x16
+        state, m0 = jstep(state, x, jnp.float32(0.0), jax.random.PRNGKey(4))
+        # iteration 1: skipped branch -> gp contribution exactly 0
+        state, m1 = jstep(state, x, jnp.float32(0.0), jax.random.PRNGKey(5))
+        assert float(m1["dis/loss_gp"]) == 0.0
+        got = {
+            "step0/gen/loss_adv": float(m0["gen/loss_adv"]),
+            "step0/dis/loss_adv": float(m0["dis/loss_adv"]),
+            "step0/dis/loss_gp": float(m0["dis/loss_gp"]),
+            "step1/dis/loss_adv": float(m1["dis/loss_adv"]),
+        }
+        self._check_pin("dcgan_lazy_r1_16", got)
+
+    def test_deepvoxels_pallas_win_interpret_step_losses(self, tmp_path, monkeypatch):
+        """The windowed bf16 Pallas lift (`lift_mode: pallas_win`) driven
+        through the production Trainer in Pallas INTERPRET mode (bit-exact
+        twin of the Mosaic kernel's arithmetic: bf16 operands, f32
+        accumulation, per-tile d1 windows). Pins the first step so the
+        non-reference-exact fast path cannot drift silently."""
+        import rgbd_gan_tpu.ops.bilinear_pallas as bp
+        import rgbd_gan_tpu.ops.trilinear_pallas as tp
+        from test_deepvoxels_trainer import dv_config
+
+        # route the CPU run through the kernel in interpret mode
+        monkeypatch.setattr(bp, "pallas_available", lambda: True)
+        real_lift = tp.trilinear_lift
+
+        def interpret_lift(voxel, vox, ib, interpret=False, dtype=None, window=None):
+            return real_lift(voxel, vox, ib, True, dtype, window)
+
+        monkeypatch.setattr(tp, "trilinear_lift", interpret_lift)
+
+        config = dv_config(
+            tmp_path, occlusion_type="deepvoxels", lift_mode="pallas_win",
+            iteration=1, snapshot_interval=100, ch=16, batchsize=2,
+        )
+        row = self._trainer_first_step(config, 64)
+        got = {
+            k: float(row[k])
+            for k in ["gen/loss_adv", "dis/loss_adv", "dis/loss_gp"]
+        }
+        self._check_pin("deepvoxels_pallas_win_interpret", got)

@@ -213,3 +213,51 @@ class TestMeshAllArchitectures:
         assert t.state.sn_state is not None
         _assert_shards_identical(t.state.sn_state, "stylegan sn state")
         _assert_shards_identical(t.state.params_dis, "stylegan params_dis")
+
+    # -- windowed (step_window > 1) variants (VERDICT r4 #5): the device-side
+    # step window chains K iterations in one compiled program, so the carried
+    # collections (sn_state / batch_stats) flow through a lax-scan carry under
+    # the replication-CHECKED shard_map out_specs — these legs fail loudly if
+    # the window x carried-state x checked-replication interaction regresses.
+
+    def test_deepvoxels_mesh_windowed_bn_stats_replicated(self, tmp_path):
+        from test_deepvoxels_trainer import dv_config
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        config = dv_config(
+            tmp_path, occlusion_type="deepvoxels", use_mpi=True,
+            batchsize=16, iteration=2, step_window=2,
+            snapshot_interval=100, ch=16,
+        )
+        data = synthetic_dataset(16, 64)
+        t = Trainer(config, dataset=data, seed=0)
+        assert t.use_mesh and t.local_batch == 2
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(jax.device_get(t.state.iteration)) == 2
+        assert np.isfinite(rows[-1]["gen/loss_adv"])
+        assert t.state.gen_state is not None
+        _assert_shards_identical(t.state.gen_state, "windowed dv batch_stats")
+        _assert_shards_identical(t.state.params_gen, "windowed dv params_gen")
+
+    def test_stylegan_sn_mesh_windowed_sn_state_replicated(self, tmp_path):
+        from test_trainer import tiny_config
+        from rgbd_gan_tpu.data.dataset import synthetic_dataset
+        from rgbd_gan_tpu.train.trainer import Trainer
+
+        config = tiny_config(
+            tmp_path, generator_architecture="stylegan", sn=True,
+            rotate_feature=True, use_mpi=True, batchsize=16, iteration=2,
+            step_window=2, snapshot_interval=100,
+        )
+        data = synthetic_dataset(16, 32)
+        t = Trainer(config, dataset=data, seed=0)
+        assert t.use_mesh and t.local_batch == 2
+        rows = []
+        t.run(log_cb=rows.append)
+        assert int(jax.device_get(t.state.iteration)) == 2
+        assert np.isfinite(rows[-1]["gen/loss_adv"])
+        assert t.state.sn_state is not None
+        _assert_shards_identical(t.state.sn_state, "windowed sn state")
+        _assert_shards_identical(t.state.params_dis, "windowed params_dis")

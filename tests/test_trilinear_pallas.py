@@ -287,3 +287,43 @@ class TestWindowedLift:
             with pytest.raises(ValueError, match="z_rotate"):
                 _resolve_lift_mode("pallas_win", 0.5)
         assert _resolve_lift_mode("gather", 0.5) == "gather"
+
+    def test_span_bound_derived_from_live_constants(self, monkeypatch):
+        """The pallas_win gate re-derives its span bound from the live
+        geometry constants — editing them must FLIP the gate, never silently
+        zero valid contributions (VERDICT r4 #4)."""
+        import rgbd_gan_tpu.models.deepvoxels as dv
+        import rgbd_gan_tpu.ops.bilinear_pallas as bp
+        import rgbd_gan_tpu.ops.trilinear_pallas as tp
+
+        # as shipped: bound ~10.0, fits the 16-plane window with 3 of margin
+        base = dv.lift_window_span_bound()
+        assert base + 3.0 <= dv.LIFT_WINDOW
+        # the bound matches the brute-force worst case measured by
+        # test_span_invariant_over_production_prior (float span >= int span-2)
+        assert base == (tp.TILE_N - 1) / dv.PROJ_DIM * (
+            dv.NEAR_PLANE + (dv.FRUSTUM_DEPTH - 1) * dv.VOXEL_SIZE
+        ) / (dv.FOCAL * dv.VOXEL_SIZE)
+
+        # pretend the kernel is available so the resolver reaches the gate
+        monkeypatch.setattr(bp, "pallas_available", lambda: True)
+
+        # a shorter focal (wider FoV) stretches the per-tile grid reach:
+        # the default must fall back to the full-width kernel and an
+        # explicit pallas_win request must refuse
+        monkeypatch.setattr(dv, "FOCAL", dv.FOCAL / 4.0)
+        assert dv.lift_window_span_bound() > base
+        assert dv._resolve_lift_mode(None, 0.0) == "pallas"
+        with pytest.raises(ValueError, match="span bound"):
+            dv._resolve_lift_mode("pallas_win", 0.0)
+        monkeypatch.undo()
+        monkeypatch.setattr(bp, "pallas_available", lambda: True)
+
+        # a tile size that straddles depth planes voids the analysis entirely
+        monkeypatch.setattr(tp, "TILE_N", 1000)
+        assert dv.lift_window_span_bound() == float("inf")
+        assert dv._resolve_lift_mode(None, 0.0) == "pallas"
+        monkeypatch.undo()
+
+        # the shipped constants still pass after the perturbations
+        assert dv.lift_window_span_bound() == base
