@@ -34,12 +34,26 @@ def run_trace(lift_mode: str, n_steps: int):
     data = synthetic_dataset(32, 64)
     t = Trainer(config, dataset=data, seed=0)
     spec = t._spec_for(iteration=10, stage_floor=8)
-    step = t._compiled_step(spec)
+    jstep = t._compiled_step(spec)
     state = t.state
     x = jnp.asarray(t.iterator.next())
     alpha = jnp.float32(0.5)
 
     key = jax.random.PRNGKey(10)
+    # AOT lower+compile ONCE so the cost-analysis FLOPs and the profiled
+    # executable are the same artifact (a second jit compile through the
+    # tunnel costs ~10 min)
+    compiled = jstep.lower(state, x, alpha, key).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        print(f"cost_analysis flops/step: {cost.get('flops', 0.0):.4g} "
+              "(lower bound: Pallas custom calls are opaque)")
+    except Exception as e:  # noqa: BLE001
+        print("cost_analysis unavailable:", e)
+    step = compiled
+
     for _ in range(3):
         key, k = jax.random.split(key)
         state, metrics = step(state, x, alpha, k)
