@@ -378,8 +378,14 @@ class Trainer:
             rng = np.random.RandomState(1)
             cols = 8
             rows = z.shape[0] // cols
-            z2 = self.make_hidden_np(rng, cols)
-            z2 = np.tile(z2[:, None], (1, rows, 1)).reshape(z.shape[0], -1)
+            if rows * cols == z.shape[0]:
+                z2 = self.make_hidden_np(rng, cols)
+                z2 = np.tile(z2[:, None], (1, rows, 1)).reshape(z.shape[0], -1)
+            else:
+                # non-grid batch (e.g. tools/validate_3d_structure.py sweeps):
+                # per-sample fixed-seed draw; the 8-column preview-grid tiling
+                # above stays bit-identical for grid-shaped batches
+                z2 = self.make_hidden_np(rng, z.shape[0])
             variables = {"params": params}
             if self.state.gen_state is not None:
                 variables["batch_stats"] = self.state.gen_state

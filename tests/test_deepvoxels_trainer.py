@@ -77,6 +77,25 @@ class TestDeepVoxelsTrainer:
         np.testing.assert_allclose(a, b)
 
 
+def test_eval_forward_accepts_non_grid_batch(tmp_path):
+    """gen_apply_eval must handle batches that are not preview-grid shaped
+    (8-column multiples) — tools/validate_3d_structure.py sweeps feed
+    rows*cols batches like 10 (regression: reshape ValueError)."""
+    import jax.numpy as jnp
+
+    from rgbd_gan_tpu.geometry.camera import camera_matrices, theta_to_9dof
+
+    config = dv_config(tmp_path, iteration=0)
+    t = Trainer(config, dataset=synthetic_dataset(8, 64), seed=0)
+    for n in (5, 8):  # non-grid and grid-shaped
+        z = jnp.asarray(t.make_hidden_np(np.random.RandomState(0), n))
+        theta6 = jnp.zeros((n, 6), jnp.float32)
+        x = t.gen_apply_eval(
+            z, 8, jnp.float32(0.0), theta_to_9dof(theta6), camera_matrices(theta6)
+        )
+        assert x.shape == (n, 64, 64, 4)
+
+
 def test_r1_interval_unsupported_raises(tmp_path):
     """lazy R1 is implemented for the rgbd/rgb steps only; the deepvoxels
     step ignores the interval, so the Trainer must fail fast rather than
